@@ -1,0 +1,170 @@
+"""One-shot resampling as a single static XLA program.
+
+For a known input length everything is compile-time constant: the flush
+padding, the canonical output length, and the entire fixed-point phase walk
+(div/phase/frac per output) — computed host-side in exact numpy int64 and
+baked into the program as constants.  The device program is then just
+convolutions, gathers and (for exact rational ratios) one big frames-matmul
+on the MXU.
+
+This is the TPU-native replacement for the reference's
+``ResampleMono``/``resampleAll`` call stack (convenience.go:204-229,
+SURVEY.md section 3.3), producing the same canonical sample stream.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..filterdesign.params import PHASE_FRAC_BITS
+from ..ops.convolve import conv1d_poly
+from .counts import CubicSim
+from .plan import EnginePlan
+from .stages import gather_windows, hermite4, prestage_apply
+
+_FRAC = 1 << PHASE_FRAC_BITS
+
+
+def _poly_walk_host(plan: EnginePlan, count: int):
+    """Host-side exact walk: (div, phase, frac) for outputs 0..count-1."""
+    at = plan.at0 + np.arange(count, dtype=np.int64) * plan.step
+    hi = at >> PHASE_FRAC_BITS
+    div = hi // plan.num_phases
+    phase = hi % plan.num_phases
+    frac = at & (_FRAC - 1)
+    return div.astype(np.int64), phase.astype(np.int64), frac.astype(np.int64)
+
+
+def _rational_matrix(plan: EnginePlan):
+    """Per-period resampling matrix for the exact-rational fast path.
+
+    Output j = m*P + r reads u[m*Ip + delta + (r*s)//L : ... + T2] against
+    bank row A[(r*s) % L].  R[r, (r*s)//L + t] = A[phase_r, t] gives
+    y[m, r] = dot(frame_m, R[r]) with frame_m = u[m*Ip + delta : + W].
+    """
+    s = plan.step >> PHASE_FRAC_BITS
+    L = plan.num_phases
+    g = math.gcd(s, L)
+    P = L // g
+    Ip = s // g
+    T2 = plan.poly_taps
+    W = ((P - 1) * s) // L + T2
+    R = np.zeros((P, W), dtype=np.float64)
+    for r in range(P):
+        off = (r * s) // L
+        ph = (r * s) % L
+        R[r, off:off + T2] = plan.bank_a[ph]
+    return R, P, Ip, W
+
+
+def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
+                        dtype, tile: int = 2048) -> jax.Array:
+    """Gather+einsum polyphase application with host-constant indices."""
+    div, phase, frac = _poly_walk_host(plan, count)
+    assert int(div[-1]) + plan.poly_taps <= u.shape[1], \
+        "internal: flush padding did not cover the last output window"
+    # Coefficient rows can be computed host-side in float64 for accuracy.
+    x = (frac.astype(np.float64) / _FRAC)[:, None]
+    K_host = (plan.bank_a[phase] + x * (plan.bank_b[phase] +
+              x * (plan.bank_c[phase] + x * plan.bank_d[phase])))
+    padded = -(-count // tile) * tile
+    pad = padded - count
+    div_p = np.pad(div, (0, pad))
+    K_p = np.pad(K_host, ((0, pad), (0, 0)))
+    div_r = jnp.asarray(div_p.reshape(-1, tile), dtype=jnp.int32)
+    K_r = jnp.asarray(K_p.reshape(-1, tile, K_host.shape[1]), dtype=dtype)
+
+    def tile_fn(args):
+        div_t, K_t = args
+        w = gather_windows(u, div_t, plan.poly_taps)          # [S, tile, T2]
+        return jnp.einsum('sct,ct->sc', w, K_t,
+                          preferred_element_type=u.dtype)
+
+    y = lax.map(tile_fn, (div_r, K_r))                        # [n_tiles, S, tile]
+    y = jnp.transpose(y, (1, 0, 2)).reshape(u.shape[0], padded)
+    return y[:, :count]
+
+
+def _poly_apply_rational(plan: EnginePlan, u: jax.Array, count: int,
+                         dtype) -> jax.Array:
+    """Frames-matmul fast path (MXU): one [S*F, W] x [W, P] matmul."""
+    R, P, Ip, W = _rational_matrix(plan)
+    delta = plan.lengths.core_delta()
+    n_frames = -(-count // P)
+    need = delta + (n_frames - 1) * Ip + W
+    if u.shape[1] < need:
+        u = jnp.pad(u, ((0, 0), (0, need - u.shape[1])))
+    starts = jnp.asarray(delta + np.arange(n_frames, dtype=np.int64) * Ip,
+                         dtype=jnp.int32)
+    frames = gather_windows(u, starts, W)                     # [S, F, W]
+    Rt = jnp.asarray(R.T, dtype=dtype)                        # [W, P]
+    y = jnp.einsum('sfw,wp->sfp', frames, Rt,
+                   preferred_element_type=u.dtype)
+    return y.reshape(u.shape[0], n_frames * P)[:, :count]
+
+
+def oneshot(plan: EnginePlan, x: jax.Array, dtype=None) -> jax.Array:
+    """Resample x [S, n] -> y [S, canonical(n)] in one compiled program.
+
+    Equivalent to the reference's Process+Flush one-shot stream
+    (convenience.go:204-229).  The program is jit-compiled and cached per
+    (plan, batch, length, dtype); all length bookkeeping is trace-time.
+    """
+    if x.ndim != 2:
+        raise ValueError(f"oneshot expects [streams, samples], got {x.shape}")
+    dtype = jnp.dtype(dtype or x.dtype)
+    return _oneshot_jit(plan, jnp.asarray(x), dtype.name)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str) -> jax.Array:
+    dtype = jnp.dtype(dtype_name)
+    x = x.astype(dtype)
+    n = x.shape[1]
+    lm = plan.lengths
+    canonical = lm.canonical(n)
+    if canonical <= 0 or n == 0:
+        return jnp.zeros((x.shape[0], max(canonical, 0)), dtype=dtype)
+    z = lm.flush_pad(n)
+
+    if plan.kind == 'cubic':
+        at = np.arange(canonical, dtype=np.int64) * plan.cubic_step
+        i = (at >> CubicSim.FRAC_BITS).astype(np.int64)
+        frac = (at & ((1 << CubicSim.FRAC_BITS) - 1)).astype(np.float64) \
+            / (1 << CubicSim.FRAC_BITS)
+        histbuf = jnp.pad(x, ((0, 0), (3, 0)))
+        w = gather_windows(histbuf, jnp.asarray(i, dtype=jnp.int32), 4)
+        return hermite4(w, jnp.asarray(frac, dtype=dtype))
+
+    if plan.kind == 'dft_up':
+        t1, f = plan.pre_taps, plan.factor
+        xext = jnp.pad(x, ((0, 0), (t1 - 1, z)))
+        coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
+        u = prestage_apply(coeffs, xext, f)
+        drop = lm.drop_prefix()
+        return u[:, drop:drop + canonical]
+
+    if plan.kind == 'decimate':
+        t, m = plan.decim_taps, plan.factor
+        # windows at absolute positions t-1 + j*M over (0^{t-1} x 0^z ...)
+        need = (t - 1) + (canonical - 1) * m + t
+        pad_right = max(z, need - (t - 1 + n))
+        xext = jnp.pad(x, ((0, 0), (t - 1, pad_right)))
+        coeffs = jnp.asarray(plan.decim_coeffs, dtype=dtype)
+        out = conv1d_poly(xext[:, t - 1:], coeffs[None, :], stride=m)[:, 0, :]
+        return out[:, :canonical]
+
+    # two_stage
+    t1, f = plan.pre_taps, plan.factor
+    xext = jnp.pad(x, ((0, 0), (t1 - 1, z)))
+    coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
+    u = prestage_apply(coeffs, xext, f)                       # [S, F*(n+z)]
+    if plan.is_rational_exact:
+        return _poly_apply_rational(plan, u, canonical, dtype)
+    return _poly_apply_general(plan, u, canonical, dtype)

@@ -1,0 +1,251 @@
+"""Streaming engine: stateful Process/Flush over fixed-size blocks.
+
+TPU-native replacement for the reference's streaming engine
+(engine/resampler.go:182-340).  The device side is a single jitted
+``step`` function per topology — pure ``(state, block) -> (state', y,
+n_valid)`` with static shapes — and the host wrapper feeds fixed
+micro-blocks from an input accumulator, so arbitrary chunk sizes stream
+through one compiled program.  Chunking invariance holds by construction:
+the emitted sample stream depends only on the concatenated input
+(SURVEY.md section 4.4 contract).
+
+Flush follows the reference's orchestration (resampler.go:275-322) via the
+length model: the engine feeds the exact zero padding that drains every
+stage, then trims the total stream to the canonical output count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .plan import EnginePlan
+from . import stages
+from .stages import (CubicState, DecimState, PolyState, PrestageState, I32)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# Module-level jitted step functions: constants are traced arguments and the
+# per-topology configuration is static, so the XLA cache is shared across
+# EngineCore instances with the same plan/shapes.
+
+@partial(jax.jit, static_argnames=('cubic_step', 'cap'))
+def _step_cubic(state, x, cubic_step, cap):
+    st, y, valid, n = stages.cubic_process(state, x, cubic_step, cap)
+    return st, y, n
+
+
+@partial(jax.jit, static_argnames=('factor',))
+def _step_dft_up(coeffs, state, x, factor):
+    st, u = stages.prestage_process(coeffs, state, x, factor)
+    return st, u, I32(u.shape[1])
+
+
+@partial(jax.jit, static_argnames=('factor',))
+def _step_decim(coeffs, state, x, factor):
+    st, y, valid, n = stages.decim_process(coeffs, state, x, factor)
+    return st, y, n
+
+
+@partial(jax.jit, static_argnames=('factor', 'num_phases', 'taps', 'step_hi',
+                                   'step_lo', 'cap'))
+def _step_two_stage(pre_coeffs, banks, state, x, factor, num_phases, taps,
+                    step_hi, step_lo, cap):
+    pre_state, poly_state = state
+    pre_state, u = stages.prestage_process(pre_coeffs, pre_state, x, factor)
+    poly_state, y, valid, n = stages.poly_process(
+        banks, poly_state, u, num_phases, taps, step_hi, step_lo, cap)
+    return (pre_state, poly_state), y, n
+
+
+class EngineCore:
+    """Stateful streaming resampler over a batch of independent streams.
+
+    The reference processes channels with one goroutine each
+    (constant.go:224-241); here all ``batch`` streams ride the leading
+    array axis through one device program (SURVEY.md section 2,
+    "TPU-native equivalents").
+
+    Parameters:
+      plan:   built engine plan (filters + topology)
+      batch:  number of parallel streams S
+      block:  internal micro-block size B (input samples per device step)
+      dtype:  compute dtype (float32 on TPU; float64 for parity runs on CPU)
+    """
+
+    def __init__(self, plan: EnginePlan, batch: int = 1, block: int = 2048,
+                 dtype=jnp.float32):
+        self.plan = plan
+        self.batch = batch
+        self.block = block
+        self.dtype = jnp.dtype(dtype)
+        self._build_constants()
+        self._step = self._make_step()
+        self.reset()
+
+    # -- construction ------------------------------------------------------
+
+    def _build_constants(self):
+        p = self.plan
+        if p.kind in ('dft_up', 'two_stage'):
+            self.pre_coeffs = jnp.asarray(p.pre_coeffs, dtype=self.dtype)
+        if p.kind == 'two_stage':
+            self.banks = tuple(jnp.asarray(b, dtype=self.dtype) for b in
+                               (p.bank_a, p.bank_b, p.bank_c, p.bank_d))
+            m = self.block * p.factor
+            self.poly_cap = _ceil_div(m * p.num_phases * 65536, p.step) + 1
+            # keep = residual history bound (see stages.py poly_process)
+            step_in = _ceil_div(p.step, p.num_phases * 65536)
+            self.poly_keep = p.poly_taps + step_in + 2
+            self.hist_size = self.poly_keep + m + p.lengths.core_delta()
+        if p.kind == 'decimate':
+            self.decim_coeffs = jnp.asarray(p.decim_coeffs, dtype=self.dtype)
+            self.decim_cap = _ceil_div(self.block, p.factor) + 1
+        if p.kind == 'cubic':
+            self.cubic_cap = _ceil_div(self.block << 32, p.cubic_step) + 1
+
+    def _init_state(self):
+        p, s, d = self.plan, self.batch, self.dtype
+        if p.kind == 'cubic':
+            return CubicState(carry=jnp.zeros((s, 3), d),
+                              at_int=I32(0), at_f1=I32(0), at_f0=I32(0))
+        if p.kind == 'dft_up':
+            return PrestageState(carry=jnp.zeros((s, p.pre_taps - 1), d))
+        if p.kind == 'decimate':
+            return DecimState(carry=jnp.zeros((s, p.decim_taps - 1), d),
+                              next_rel=I32(p.decim_taps - 1))
+        # two_stage
+        return (PrestageState(carry=jnp.zeros((s, p.pre_taps - 1), d)),
+                PolyState(hist=jnp.zeros((s, self.hist_size), d),
+                          hist_len=I32(0),
+                          at_hi=I32(p.at0 >> 16), at_lo=I32(p.at0 & 0xFFFF)))
+
+    def _make_step(self):
+        p = self.plan
+        if p.kind == 'cubic':
+            return lambda state, x: _step_cubic(
+                state, x, cubic_step=p.cubic_step, cap=self.cubic_cap)
+        if p.kind == 'dft_up':
+            return lambda state, x: _step_dft_up(
+                self.pre_coeffs, state, x, factor=p.factor)
+        if p.kind == 'decimate':
+            return lambda state, x: _step_decim(
+                self.decim_coeffs, state, x, factor=p.factor)
+        return lambda state, x: _step_two_stage(
+            self.pre_coeffs, self.banks, state, x, factor=p.factor,
+            num_phases=p.num_phases, taps=p.poly_taps, step_hi=p.step_hi,
+            step_lo=p.step_lo, cap=self.poly_cap)
+
+    # -- streaming API -----------------------------------------------------
+
+    def reset(self):
+        """Clear all streaming state (resampler.go:325-340)."""
+        self.state = self._init_state()
+        self._pending = np.zeros((self.batch, 0), dtype=self.dtype)
+        self.samples_in = 0       # real input samples fed by the caller
+        self.samples_out = 0      # canonical samples emitted to the caller
+        self._core_emitted = 0    # core outputs seen (incl. transient prefix)
+        self._flushed = False
+
+    def _run_block(self, block_np: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(block_np, dtype=self.dtype)
+        self.state, y, n = self._step(self.state, x)
+        n = int(n)
+        return np.asarray(y[:, :n])
+
+    def _emit(self, core_out: np.ndarray, limit: int | None) -> np.ndarray:
+        """Apply the transient-prefix drop and the canonical limit."""
+        drop = self.plan.lengths.drop_prefix()
+        start = 0
+        if self._core_emitted < drop:
+            start = min(drop - self._core_emitted, core_out.shape[1])
+        self._core_emitted += core_out.shape[1]
+        out = core_out[:, start:]
+        if limit is not None:
+            room = limit - self.samples_out
+            out = out[:, :max(room, 0)]
+        self.samples_out += out.shape[1]
+        return out
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        """Resample a chunk; returns all output currently available.
+
+        ``x`` is [batch, n] (or [n] for batch==1).  Per-call output counts
+        differ from the reference (full micro-blocks are processed eagerly,
+        the tail is held until more input or flush), but the concatenated
+        stream is canonical.
+        """
+        if self._flushed:
+            raise RuntimeError("process() after flush(); call reset() first")
+        x = np.asarray(x, dtype=self.dtype)
+        if x.ndim == 1:
+            x = np.broadcast_to(x, (self.batch, x.shape[0])) if self.batch > 1 \
+                else x[None, :]
+        if x.shape[0] != self.batch:
+            raise ValueError(f"expected {self.batch} streams, got {x.shape[0]}")
+        self.samples_in += x.shape[1]
+        self._pending = np.concatenate([self._pending, x], axis=1)
+        outs = []
+        while self._pending.shape[1] >= self.block:
+            blk = self._pending[:, :self.block]
+            self._pending = self._pending[:, self.block:]
+            outs.append(self._emit(self._run_block(blk), None))
+        if outs:
+            return np.concatenate(outs, axis=1)
+        return np.zeros((self.batch, 0), dtype=self.dtype)
+
+    def flush(self) -> np.ndarray:
+        """Drain all stage tails; returns the remaining canonical samples.
+
+        Mirrors resampler.go:275-322 through the length model: the core is
+        fed the exact zero padding that drains every stage, and the stream
+        is trimmed to the canonical total.
+        """
+        if self._flushed:
+            return np.zeros((self.batch, 0), dtype=self.dtype)
+        self._flushed = True
+        lm = self.plan.lengths
+        canonical_total = lm.canonical(self.samples_in) + 0
+        rem = self._pending.shape[1]
+        z = lm.flush_pad(self.samples_in) if self.samples_in > 0 else 0
+        # Feed remainder + z zeros, rounded up to whole blocks (extra zeros
+        # only produce post-canonical samples, which the limit trims).
+        total_tail = rem + z
+        n_blocks = _ceil_div(total_tail, self.block) if total_tail else 0
+        tail = np.zeros((self.batch, n_blocks * self.block), dtype=self.dtype)
+        if rem:
+            tail[:, :rem] = self._pending
+        self._pending = np.zeros((self.batch, 0), dtype=self.dtype)
+        outs = []
+        for i in range(n_blocks):
+            blk = tail[:, i * self.block:(i + 1) * self.block]
+            outs.append(self._emit(self._run_block(blk), canonical_total))
+        if outs:
+            out = np.concatenate(outs, axis=1)
+        else:
+            out = np.zeros((self.batch, 0), dtype=self.dtype)
+        if self.samples_out < canonical_total:
+            raise AssertionError(
+                "internal: flush under-produced "
+                f"({self.samples_out} < {canonical_total})")
+        return out
+
+    # -- introspection (resample.go:339-355, resampler.go:342-353) ---------
+
+    def get_ratio(self) -> float:
+        return self.plan.ratio
+
+    def get_latency(self) -> int:
+        return self.plan.latency()
+
+    def estimate_output(self, n: int) -> int:
+        return self.plan.estimate_output(n)
+
+    def get_statistics(self) -> dict:
+        return {"samplesIn": self.samples_in, "samplesOut": self.samples_out}
