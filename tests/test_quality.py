@@ -1,0 +1,173 @@
+"""DSP quality regression tests with hard thresholds.
+
+Port of the reference's quality regression tier (SURVEY.md section 4.2):
+synthesize DC/sine/multitone/alias-tone signals, resample through the
+engine in float64, measure THD / SNR / ripple / anti-aliasing / DC gain,
+and assert the calibrated floors from
+internal/engine/quality_regression_test.go:26-58 ("only made stricter,
+never relaxed").  Also compares against the captured libsoxr golden data
+(tests/testdata/soxr_reference_data.json).
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from go_audio_resampler_tpu.engine import plan_engine, oneshot
+from go_audio_resampler_tpu.filterdesign import Quality
+from go_audio_resampler_tpu.utils import metrics, signals
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "testdata" / "soxr_reference_data.json")
+    .read_text())
+
+NUM_SAMPLES = 65536
+FFT_SIZE = 16384
+
+# Regression floors (quality_regression_test.go:26-58)
+MAX_THD = {
+    Quality.QUICK: -80.0,
+    Quality.LOW: -130.0,
+    Quality.MEDIUM: -129.0,
+    Quality.HIGH: -140.0,
+    Quality.VERY_HIGH: -140.0,
+}
+MAX_RIPPLE = {
+    Quality.QUICK: 5.5,
+    Quality.LOW: 2.0,
+    Quality.MEDIUM: 2.0,
+    Quality.HIGH: 2.0,
+    Quality.VERY_HIGH: 2.0,
+}
+MIN_SNR = 35.0
+DC_TOL = 0.001
+
+
+def resample(x, inr, outr, q):
+    plan = plan_engine(inr, outr, q)
+    return np.asarray(oneshot(plan, np.asarray(x)[None], dtype=np.float64))[0]
+
+
+class TestTHDRegression:
+    CASES = [(44100, 48000), (48000, 44100), (48000, 96000), (96000, 48000),
+             (48000, 32000)]
+
+    @pytest.mark.parametrize("inr,outr", CASES)
+    @pytest.mark.parametrize("q", [Quality.QUICK, Quality.LOW, Quality.MEDIUM,
+                                   Quality.HIGH, Quality.VERY_HIGH])
+    def test_thd_1khz(self, inr, outr, q):
+        x = signals.sine(NUM_SAMPLES, 1000.0, inr)
+        y = resample(x, inr, outr, q)
+        val = metrics.thd(y, outr, 1000.0, FFT_SIZE)
+        assert val <= MAX_THD[q], f"THD {val:.2f} dB above floor {MAX_THD[q]}"
+
+    def test_thd_vs_soxr_golden(self):
+        # soxr capture: thd_44100_48000_1000 = -162.22 dB.  The reference Go
+        # implementation achieves -155.58 (README.md:307); require we land in
+        # the same class (within 10 dB of the Go number or better).
+        x = signals.sine(NUM_SAMPLES, 1000.0, 44100)
+        y = resample(x, 44100, 48000, Quality.VERY_HIGH)
+        val = metrics.thd(y, 48000, 1000.0, FFT_SIZE)
+        assert val <= -150.0, f"VHQ THD {val:.2f} dB not in soxr class"
+
+
+class TestSNRRegression:
+    @pytest.mark.parametrize("inr,outr", [(44100, 48000), (48000, 44100),
+                                          (96000, 48000), (48000, 32000)])
+    @pytest.mark.parametrize("q", [Quality.LOW, Quality.HIGH,
+                                   Quality.VERY_HIGH])
+    def test_snr_floor(self, inr, outr, q):
+        x = signals.sine(NUM_SAMPLES, 1000.0, inr)
+        y = resample(x, inr, outr, q)
+        val = metrics.snr(y, outr, 1000.0, FFT_SIZE)
+        assert val >= MIN_SNR, f"SNR {val:.2f} dB below {MIN_SNR}"
+
+
+class TestPassbandRipple:
+    CASES = [(44100, 48000), (48000, 44100), (48000, 96000), (96000, 48000),
+             (48000, 32000)]
+
+    @pytest.mark.parametrize("inr,outr", CASES)
+    @pytest.mark.parametrize("q", [Quality.HIGH, Quality.VERY_HIGH])
+    def test_ripple(self, inr, outr, q):
+        x, freqs = signals.passband_tones(NUM_SAMPLES, inr, outr)
+        y = resample(x, inr, outr, q)
+        r = metrics.passband_ripple(y, outr, freqs, FFT_SIZE)
+        assert r.ripple_peak_peak <= MAX_RIPPLE[q], \
+            f"ripple {r.ripple_peak_peak:.2f} dB > {MAX_RIPPLE[q]}"
+
+    def test_ripple_vs_soxr_golden(self):
+        # soxr: ripple_44100_48000 = 1.3238 dB p-p; match within 1 dB
+        x, freqs = signals.passband_tones(NUM_SAMPLES, 44100, 48000)
+        y = resample(x, 44100, 48000, Quality.VERY_HIGH)
+        r = metrics.passband_ripple(y, 48000, freqs, FFT_SIZE)
+        golden = GOLDEN["quality"]["ripple_44100_48000"]["ripple"]
+        assert abs(r.ripple_peak_peak - golden) <= 1.0, \
+            f"ripple {r.ripple_peak_peak:.3f} vs soxr {golden:.3f}"
+
+
+class TestDCGain:
+    # quality_regression_test.go:59-103
+    CASES = [(44100, 48000, Quality.VERY_HIGH), (48000, 44100, Quality.VERY_HIGH),
+             (48000, 32000, Quality.VERY_HIGH), (48000, 96000, Quality.VERY_HIGH),
+             (44100, 48000, Quality.QUICK), (48000, 32000, Quality.QUICK)]
+
+    @pytest.mark.parametrize("inr,outr,q", CASES)
+    def test_dc_gain(self, inr, outr, q):
+        x = signals.dc(16384)
+        y = resample(x, inr, outr, q)
+        g = metrics.dc_gain(y)
+        assert abs(g - 1.0) <= DC_TOL, f"DC gain {g:.6f} outside +-{DC_TOL}"
+
+
+class TestAntiAliasing:
+    def test_integer_decimation_attenuation(self):
+        # Integer-ratio decimation must exceed the reference's 80 dB floor
+        # (antialiasing_test.go:27); the DFT-decimation filter actually
+        # delivers 110+ dB here.
+        x = signals.alias_tones(NUM_SAMPLES, 96000, 48000)
+        y = resample(x, 96000, 48000, Quality.VERY_HIGH)
+        att = metrics.antialias_attenuation(x, y, 96000, 48000)
+        assert att >= 100.0, f"anti-alias attenuation {att:.1f} dB < 100"
+
+    @pytest.mark.parametrize("inr,outr", [(48000, 32000), (48000, 44100)])
+    def test_noninteger_downsampling_informational(self, inr, outr):
+        # The reference explicitly treats non-integer downsampling alias
+        # attenuation as informational — the polyphase path's stopband is
+        # limited (antialiasing_test.go:727-737).  Assert only that the
+        # measurement is finite and the pipeline runs; the value tracks the
+        # reference's behavior, not libsoxr's.
+        x = signals.alias_tones(NUM_SAMPLES, inr, outr)
+        y = resample(x, inr, outr, Quality.VERY_HIGH)
+        att = metrics.antialias_attenuation(x, y, inr, outr)
+        assert np.isfinite(att)
+
+
+class TestImpulseAndSymmetry:
+    def test_impulse_finite_and_concentrated(self):
+        # testutil helpers.go:25-39 analog: finite values; linear-phase
+        # filtering keeps the impulse energy concentrated around one peak.
+        # (Exact symmetry does not apply: the polyphase output grid samples
+        # the continuous response at non-symmetric phases.)
+        x = signals.impulse(4096, position=2048)
+        y = resample(x, 44100, 48000, Quality.HIGH)
+        assert np.all(np.isfinite(y))
+        peak = int(np.argmax(np.abs(y)))
+        total = float(np.sum(y ** 2))
+        near = float(np.sum(y[peak - 300:peak + 300] ** 2))
+        assert near / total > 0.999
+        # Energy scales with the rate change (Parseval: ~ratio x band factor)
+        assert 0.9 < total < 48000 / 44100 + 0.01
+
+    def test_extreme_values_no_nan(self):
+        for scale in (1e-30, 1.0, 1e6):
+            x = signals.sine(4096, 1000.0, 44100) * scale
+            y = resample(x, 44100, 48000, Quality.HIGH)
+            assert np.all(np.isfinite(y))
+
+    def test_sine_amplitude_preserved(self):
+        x = signals.sine(NUM_SAMPLES, 1000.0, 44100, amplitude=0.9)
+        y = resample(x, 44100, 48000, Quality.HIGH)
+        assert metrics.amplitude(y) == pytest.approx(0.9, abs=0.01)
