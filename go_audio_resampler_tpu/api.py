@@ -1,0 +1,420 @@
+"""Public API: configuration, quality model, and the pipeline-path Resampler.
+
+TPU-native counterpart of the reference's ``package resampler`` surface:
+
+- ``QualityPreset``/``QualitySpec``/``QualityFlags``/``get_preset_spec``
+  <-> resample.go:77-153,217-267
+- ``Config`` + validation       <-> resample.go:46-214
+- errors                        <-> resample.go:156-165
+- ``Resampler`` (pipeline path) <-> constantRateResampler (constant.go:16-485)
+- ``new_resampler``             <-> New (resample.go:272-292)
+- ``Info``/``get_info``         <-> resample.go:295-355
+
+Channel parallelism: the reference runs one goroutine per channel
+(constant.go:224-241); here every channel rides the leading batch axis of
+one device program, so ``process_multi`` is always "parallel"
+(``enable_parallel`` is accepted for compatibility and is a no-op).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+import numpy as np
+
+import jax
+
+from .engine import EngineCore, plan_engine
+from .engine.plan import MIN_RATIO, MAX_RATIO
+from .filterdesign import Quality as EngineQuality
+from .pipeline import StageSpec, StageType, QualityParams, build_pipeline
+
+# --- constants (constants.go) ---------------------------------------------
+
+STEREO_CHANNELS = 2
+MAX_CHANNELS = 256
+ESTIMATE_OUTPUT_MARGIN = 64
+
+
+class QualityPreset(enum.IntEnum):
+    """Predefined quality levels (resample.go:104-131)."""
+
+    QUICK = 0
+    LOW = 1
+    MEDIUM = 2
+    HIGH = 3
+    VERY_HIGH = 4
+    CUSTOM = 5
+
+
+class QualityFlags(enum.IntFlag):
+    """Additional quality options (resample.go:134-153).
+
+    Only ALLOW_ALIASING is consumed by the planner (pipeline_builder.go:32);
+    NO_SIMD has no meaning on TPU (XLA always vectorizes) and is accepted
+    for compatibility.
+    """
+
+    NONE = 0
+    NO_INTERPOLATION = 1 << 0
+    MINIMUM_PHASE = 1 << 1
+    LINEAR_PHASE = 1 << 2
+    ALLOW_ALIASING = 1 << 3
+    NO_SIMD = 1 << 4
+
+
+class ResamplerError(Exception):
+    """Base class for resampler errors."""
+
+
+class InvalidConfigError(ResamplerError, ValueError):
+    """ErrInvalidConfig analog (resample.go:158)."""
+
+
+class BufferTooSmallError(ResamplerError, ValueError):
+    """ErrBufferTooSmall analog (resample.go:161): raised *before* any
+    state advances, so the caller can retry with a larger buffer."""
+
+
+class NotSupportedError(ResamplerError):
+    """ErrNotSupported analog (resample.go:164)."""
+
+
+# Preset parameter tables (constants.go:21-45)
+_PRESET_PARAMS = {
+    QualityPreset.QUICK: (8, 0.7, 1.0),
+    QualityPreset.LOW: (16, 0.80, 0.95),
+    QualityPreset.MEDIUM: (16, 0.90, 0.98),
+    QualityPreset.HIGH: (24, 0.95, 0.99),
+    QualityPreset.VERY_HIGH: (32, 0.99, 0.995),
+}
+_LINEAR_PHASE_RESPONSE = 50.0
+
+
+@dataclasses.dataclass
+class QualitySpec:
+    """Resampling quality parameters (resample.go:77-102)."""
+
+    preset: QualityPreset = QualityPreset.MEDIUM
+    precision: int = 0
+    phase_response: float = _LINEAR_PHASE_RESPONSE
+    passband_end: float = 0.0
+    stopband_begin: float = 0.0
+    flags: QualityFlags = QualityFlags.NONE
+
+    def validate(self) -> None:
+        """resample.go:194-214 (custom presets only)."""
+        if self.preset == QualityPreset.CUSTOM:
+            if not (8 <= self.precision <= 33):
+                raise InvalidConfigError("precision must be 8-33 bits")
+            if not (0 <= self.phase_response <= 100):
+                raise InvalidConfigError("phase response must be 0-100")
+            if not (0 < self.passband_end < 1):
+                raise InvalidConfigError("passband end must be in (0, 1)")
+            if not (self.passband_end < self.stopband_begin <= 1):
+                raise InvalidConfigError(
+                    "stopband begin must be in (passband_end, 1]")
+
+
+def get_preset_spec(preset: QualityPreset) -> QualitySpec:
+    """Expand a preset into a full QualitySpec (resample.go:217-267)."""
+    preset = QualityPreset(preset)
+    if preset in _PRESET_PARAMS:
+        precision, pb, sb = _PRESET_PARAMS[preset]
+        return QualitySpec(preset=preset, precision=precision,
+                           phase_response=_LINEAR_PHASE_RESPONSE,
+                           passband_end=pb, stopband_begin=sb)
+    return QualitySpec(preset=QualityPreset.MEDIUM)
+
+
+def default_dtype():
+    """float64 when x64 is enabled (CPU parity runs), else float32 (TPU)."""
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+@dataclasses.dataclass
+class Config:
+    """Resampling configuration (resample.go:46-73).
+
+    ``enable_simd``/``enable_parallel`` are accepted for API parity; on TPU
+    the compute is always vectorized and channels are always batched.
+    ``dtype`` is TPU-native: compute precision (default float32 on TPU,
+    float64 under x64).
+    """
+
+    input_rate: float
+    output_rate: float
+    channels: int = 1
+    quality: QualitySpec = dataclasses.field(default_factory=QualitySpec)
+    max_input_size: int = 0
+    enable_simd: bool = True
+    enable_parallel: bool = False
+    dtype: object = None
+
+    def validate(self) -> None:
+        """resample.go:168-191."""
+        if (not math.isfinite(self.input_rate)
+                or not math.isfinite(self.output_rate)
+                or self.input_rate <= 0 or self.output_rate <= 0):
+            raise InvalidConfigError("sample rates must be positive")
+        if self.channels < 1:
+            raise InvalidConfigError("channels must be at least 1")
+        if self.channels > MAX_CHANNELS:
+            raise InvalidConfigError(f"too many channels (max {MAX_CHANNELS})")
+        ratio = self.output_rate / self.input_rate
+        if ratio < MIN_RATIO or ratio > MAX_RATIO:
+            raise InvalidConfigError(
+                f"resampling ratio out of range ({MIN_RATIO} to {MAX_RATIO})")
+        self.quality.validate()
+
+
+@dataclasses.dataclass
+class Info:
+    """Implementation info (resample.go:295-316).  SIMD fields map to the
+    XLA backend on TPU."""
+
+    algorithm: str
+    filter_length: int
+    phases: int
+    latency: int
+    memory_usage: int
+    simd_enabled: bool
+    simd_type: str
+
+
+# --- stage construction (stages.go:21-119) ---------------------------------
+
+def precision_to_engine_quality(precision: int) -> EngineQuality:
+    """Bit precision -> engine quality (stages.go:76-108)."""
+    if precision <= 8:
+        return EngineQuality.QUICK
+    if precision <= 16:
+        return EngineQuality.LOW
+    if precision <= 20:
+        return EngineQuality.HIGH
+    if precision <= 24:
+        return EngineQuality.BITS_24
+    if precision <= 28:
+        return EngineQuality.VERY_HIGH
+    return EngineQuality.BITS_32
+
+
+def _stage_engine(spec: StageSpec, channels: int, block: int, dtype):
+    """Create the sub-engine realizing a StageSpec (stages.go:21-119).
+
+    Half-band stages are polyphase engines with factor 2 (stages.go:31-44);
+    the FFT stage delegates to polyphase (stages.go:114-119); reference
+    rates are 48000-based — only the ratio matters (stages.go:59-62).
+    """
+    if spec.type == StageType.CUBIC:
+        plan = plan_engine(48000.0, 48000.0 * spec.ratio, EngineQuality.QUICK)
+    else:
+        q = precision_to_engine_quality(spec.quality)
+        plan = plan_engine(48000.0, 48000.0 * spec.ratio, q)
+    return EngineCore(plan, batch=channels, block=block, dtype=dtype)
+
+
+class Resampler:
+    """Constant-rate multi-stage pipeline resampler (constant.go:16-485).
+
+    Built by :func:`new_resampler`; holds one chain of sub-engines with all
+    channels batched on the leading axis.  ``process`` mirrors the
+    reference's mono path; ``process_multi`` processes all channels in one
+    device program per stage.
+    """
+
+    def __init__(self, config: Config):
+        config.validate()
+        if config.quality.preset != QualityPreset.CUSTOM:
+            config.quality = get_preset_spec(config.quality.preset)
+        self.config = config
+        self.ratio = config.output_rate / config.input_rate
+        qp = QualityParams(
+            precision=config.quality.precision,
+            passband_end=config.quality.passband_end,
+            stopband_begin=config.quality.stopband_begin,
+            phase_response=config.quality.phase_response,
+            allow_aliasing=bool(config.quality.flags
+                                & QualityFlags.ALLOW_ALIASING))
+        self.pipeline = build_pipeline(self.ratio, qp)
+        self.dtype = np.dtype(config.dtype or default_dtype())
+        block = config.max_input_size or 2048
+        block = max(256, min(block, 65536))
+        self._engines = [
+            _stage_engine(spec, config.channels, block, self.dtype)
+            for spec in self.pipeline.stages]
+        if not self._engines:
+            # ratio within tolerance of 1.0: identity pipeline
+            self._engines = []
+        self.samples_in = 0
+        self.samples_out = 0
+        self._flushed = False
+
+    # -- core single/multi channel processing ------------------------------
+
+    def _chain(self, frames: np.ndarray) -> np.ndarray:
+        """Push frames through all stage engines (constant.go:255-293)."""
+        cur = frames
+        for eng in self._engines:
+            cur = eng.process(cur)
+        return cur
+
+    def _check_not_flushed(self):
+        if self._flushed:
+            raise ResamplerError("resampler already flushed; call reset()")
+
+    def process(self, x) -> np.ndarray:
+        """Resample a mono channel (resample.go:14-22).
+
+        On a multi-channel resampler the input is broadcast to every
+        channel and channel 0 is returned (documented deviation: the
+        reference advances only channel 0's chain; batched state advances
+        all lanes together — do not interleave ``process`` and
+        ``process_multi`` with different per-channel content).
+        """
+        self._check_not_flushed()
+        x = np.asarray(x, dtype=self.dtype)
+        if x.ndim != 1:
+            raise InvalidConfigError("process expects a 1-D mono array")
+        self.samples_in += len(x)
+        frames = np.broadcast_to(x, (self.config.channels, len(x)))
+        out = self._chain(np.ascontiguousarray(frames))
+        self.samples_out += out.shape[1]
+        return out[0]
+
+    def process_float32(self, x) -> np.ndarray:
+        """float32 entry point (resample.go:20-22, constant.go:128-158)."""
+        y = self.process(np.asarray(x, dtype=np.float32))
+        return y.astype(np.float32)
+
+    def process_multi(self, channels) -> list:
+        """Process all channels batched on one device program
+        (constant.go:204-253; replaces goroutine-per-channel)."""
+        self._check_not_flushed()
+        arrs = [np.asarray(c, dtype=self.dtype) for c in channels]
+        if len(arrs) != self.config.channels:
+            raise InvalidConfigError(
+                f"expected {self.config.channels} channels, got {len(arrs)}")
+        n = len(arrs[0])
+        if any(len(a) != n for a in arrs):
+            raise InvalidConfigError(
+                "all channels must have equal length per call "
+                "(batched channel processing)")
+        self.samples_in += n
+        out = self._chain(np.stack(arrs)) if n else \
+            np.zeros((self.config.channels, 0), dtype=self.dtype)
+        self.samples_out += out.shape[1]
+        return [out[i] for i in range(out.shape[0])]
+
+    # -- into variants (constant.go:103-199) --------------------------------
+
+    def estimate_output(self, n_in: int) -> int:
+        """Upper bound on output samples: floor(n*ratio) + 64
+        (constant.go:117-119)."""
+        return int(n_in * self.ratio) + ESTIMATE_OUTPUT_MARGIN
+
+    def process_into(self, x, out: np.ndarray) -> int:
+        """Resample into a caller buffer; BufferTooSmallError *before* any
+        state advances (constant.go:103-126)."""
+        x = np.asarray(x, dtype=self.dtype)
+        required = self.estimate_output(len(x))
+        if out.shape[-1] < required:
+            raise BufferTooSmallError(
+                f"output buffer {out.shape[-1]} < required {required}")
+        y = self.process(x)
+        out[..., :len(y)] = y
+        return len(y)
+
+    def process_float32_into(self, x, out: np.ndarray) -> int:
+        x = np.asarray(x, dtype=np.float32)
+        required = self.estimate_output(len(x))
+        if out.shape[-1] < required:
+            raise BufferTooSmallError(
+                f"output buffer {out.shape[-1]} < required {required}")
+        y = self.process(x).astype(np.float32)
+        out[..., :len(y)] = y
+        return len(y)
+
+    # -- flush / reset ------------------------------------------------------
+
+    def _flush_all(self) -> np.ndarray:
+        """Front-to-back tail propagation (constant.go:349-389, issue #37):
+        flush stage i, push its tail through stages i+1.., repeat."""
+        self._flushed = True
+        outs = []
+        n = len(self._engines)
+        for i in range(n):
+            tail = self._engines[i].flush()
+            for j in range(i + 1, n):
+                tail = self._engines[j].process(tail)
+            outs.append(tail)
+        if not outs:
+            return np.zeros((self.config.channels, 0), dtype=self.dtype)
+        return np.concatenate(outs, axis=1)
+
+    def flush(self) -> np.ndarray:
+        """Drain remaining samples for the mono path (resample.go:28-32)."""
+        out = self._flush_all()
+        self.samples_out += out.shape[1]
+        return out[0]
+
+    def flush_multi(self) -> list:
+        """MultiFlusher.FlushMulti analog (resample.go:324-329)."""
+        out = self._flush_all()
+        self.samples_out += out.shape[1]
+        return [out[i] for i in range(out.shape[0])]
+
+    def reset(self) -> None:
+        """Clear all state (constant.go:429-444)."""
+        for eng in self._engines:
+            eng.reset()
+        self.samples_in = 0
+        self.samples_out = 0
+        self._flushed = False
+
+    # -- introspection ------------------------------------------------------
+
+    def get_ratio(self) -> float:
+        return self.ratio
+
+    def get_latency(self) -> int:
+        """Total pipeline latency in input samples (constant.go:407-427)."""
+        return sum(e.get_latency() for e in self._engines)
+
+    def get_statistics(self) -> dict:
+        return {"samplesIn": self.samples_in, "samplesOut": self.samples_out}
+
+    def get_info(self) -> Info:
+        """Algorithm/taps/phases/latency/memory info (constant.go:452-485)."""
+        algos = [e.plan.algorithm() for e in self._engines] or ["identity"]
+        filter_len = sum(e.plan.filter_length() for e in self._engines)
+        phases = max((e.plan.num_phases for e in self._engines), default=0)
+        mem = 0
+        for e in self._engines:
+            p = e.plan
+            for arr in (p.pre_coeffs, p.decim_coeffs, p.bank_a, p.bank_b,
+                        p.bank_c, p.bank_d):
+                if arr is not None:
+                    mem += arr.size * self.dtype.itemsize
+        return Info(
+            algorithm="+".join(algos), filter_length=filter_len,
+            phases=phases, latency=self.get_latency(), memory_usage=mem,
+            simd_enabled=True, simd_type=f"xla:{jax.default_backend()}")
+
+
+def new_resampler(config: Config) -> Resampler:
+    """Create a pipeline-path resampler (New, resample.go:272-292)."""
+    if config is None:
+        raise InvalidConfigError("config is None")
+    return Resampler(config)
+
+
+def get_info(r) -> Info:
+    """Info for any resampler object (resample.go:339-355)."""
+    if hasattr(r, "get_info"):
+        return r.get_info()
+    return Info(algorithm="unknown", filter_length=0, phases=0,
+                latency=getattr(r, "get_latency", lambda: 0)(),
+                memory_usage=0, simd_enabled=False, simd_type="none")
