@@ -1,0 +1,149 @@
+"""Device-mesh scaling for batched stream resampling.
+
+The reference's only parallelism is goroutine-per-channel data parallelism
+(constant.go:224-241, SURVEY.md section 2).  The TPU-native scaling model
+(SURVEY.md "TPU-native equivalents") is:
+
+- on one chip, channels/streams ride the leading batch axis;
+- across chips, that axis is sharded over a 1-D ``jax.sharding.Mesh``
+  with ``shard_map`` — pure data parallelism riding ICI.  No collectives
+  are semantically required (streams are independent); optional global
+  metrics use ``psum``/``pmax`` reductions.
+
+These helpers are exercised by ``__graft_entry__.dryrun_multichip`` on a
+virtual host-platform mesh and scale unchanged to real multi-chip slices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..engine import plan_engine
+from ..engine.oneshot import _oneshot_jit
+from ..engine import stages
+
+STREAM_AXIS = "streams"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the stream-batch axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (STREAM_AXIS,))
+
+
+def sharded_oneshot(plan, x, mesh: Mesh, dtype=jnp.float32):
+    """One-shot resample with the stream axis sharded across the mesh.
+
+    ``x`` is [S, n] with S divisible by the mesh size.  Each device runs
+    the identical static program on its shard; XLA inserts no collectives
+    (streams are independent), so scaling is linear over ICI-attached
+    chips.
+    """
+    sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
+    x = jax.device_put(jnp.asarray(x), sharding)
+    y = _oneshot_jit(plan, x, jnp.dtype(dtype).name)
+    return y
+
+
+def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
+                        block: int, dtype=jnp.float32):
+    """Build a sharded streaming step for the two-stage engine.
+
+    Returns (init_state_fn, step_fn) where step_fn is jitted under
+    ``shard_map`` over the mesh: per-device stream state stays resident in
+    device memory, inputs arrive sharded [S_total, block], and a global
+    peak statistic is reduced with ``pmax`` across the mesh to exercise a
+    collective (the only cross-chip traffic; per-sample data never crosses
+    ICI).
+    """
+    if plan.kind != 'two_stage':
+        raise ValueError("sharded_stream_step currently builds the flagship "
+                         "two_stage topology")
+    n_dev = mesh.devices.size
+    s_total = batch_per_device * n_dev
+    m = block * plan.factor
+    cap = -(-m * plan.num_phases * 65536 // plan.step) + 1
+    step_in = -(-plan.step // (plan.num_phases * 65536))
+    keep = plan.poly_taps + step_in + 2
+    hist_size = keep + m + plan.lengths.core_delta()
+
+    pre_coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
+    banks = tuple(jnp.asarray(b, dtype=dtype) for b in
+                  (plan.bank_a, plan.bank_b, plan.bank_c, plan.bank_d))
+
+    def init_state():
+        d = jnp.dtype(dtype)
+        pre = stages.PrestageState(
+            carry=jnp.zeros((s_total, plan.pre_taps - 1), d))
+        poly = stages.PolyState(
+            hist=jnp.zeros((s_total, hist_size), d),
+            hist_len=jnp.zeros((), jnp.int32),
+            at_hi=jnp.full((), plan.at0 >> 16, jnp.int32),
+            at_lo=jnp.full((), plan.at0 & 0xFFFF, jnp.int32))
+        sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
+        rep = NamedSharding(mesh, P())
+        pre = stages.PrestageState(carry=jax.device_put(pre.carry, sharding))
+        poly = stages.PolyState(
+            hist=jax.device_put(poly.hist, sharding),
+            hist_len=jax.device_put(poly.hist_len, rep),
+            at_hi=jax.device_put(poly.at_hi, rep),
+            at_lo=jax.device_put(poly.at_lo, rep))
+        return pre, poly
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=((P(STREAM_AXIS, None),
+                        (P(STREAM_AXIS, None), P(), P(), P())),
+                       P(STREAM_AXIS, None)),
+             out_specs=((P(STREAM_AXIS, None),
+                         (P(STREAM_AXIS, None), P(), P(), P())),
+                        P(STREAM_AXIS, None), P(), P()),
+             check_vma=False)
+    def _step(state, x):
+        pre_state, poly_tuple = state
+        poly_state = stages.PolyState(*poly_tuple)
+        pre_state, u = stages.prestage_process(pre_coeffs, pre_state, x,
+                                               plan.factor)
+        poly_state, y, valid, n = stages.poly_process(
+            banks, poly_state, u, plan.num_phases, plan.poly_taps,
+            plan.step_hi, plan.step_lo, cap)
+        # Cross-chip reduction (the only ICI traffic): global output peak.
+        peak = jax.lax.pmax(jnp.max(jnp.abs(y)), STREAM_AXIS)
+        new_state = (pre_state, (poly_state.hist, poly_state.hist_len,
+                                 poly_state.at_hi, poly_state.at_lo))
+        return new_state, y, n, peak
+
+    @jax.jit
+    def step_fn(state, x):
+        pre_state, poly_state = state
+        packed = (pre_state, (poly_state.hist, poly_state.hist_len,
+                              poly_state.at_hi, poly_state.at_lo))
+        new_packed, y, n, peak = _step(packed, x)
+        new_pre, poly_tuple = new_packed
+        return (new_pre, stages.PolyState(*poly_tuple)), y, n, peak
+
+    return init_state, step_fn
+
+
+def global_stream_stats(x, mesh: Mesh):
+    """Global RMS/peak over a sharded stream batch via psum/pmax."""
+    sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
+    x = jax.device_put(jnp.asarray(x), sharding)
+
+    @partial(shard_map, mesh=mesh, in_specs=P(STREAM_AXIS, None),
+             out_specs=(P(), P()), check_vma=False)
+    def stats(shard):
+        ss = jax.lax.psum(jnp.sum(shard * shard), STREAM_AXIS)
+        n = jax.lax.psum(jnp.asarray(shard.size, jnp.float32), STREAM_AXIS)
+        peak = jax.lax.pmax(jnp.max(jnp.abs(shard)), STREAM_AXIS)
+        return jnp.sqrt(ss / n), peak
+
+    return stats(x)
