@@ -1,0 +1,147 @@
+"""resample-wav: WAV -> WAV sample-rate converter.
+
+TPU-native counterpart of the reference CLI (cmd/resample-wav/main.go):
+streams the file in 65536-frame chunks through the direct-engine path
+(the "maximum performance" path, helpers.go:77-91) with all channels
+batched on the device, shows progress every 10%, and reports realtime
+speed on completion.
+
+Flags mirror the reference (main.go:94-100): -rate, -quality,
+-fast (float32 engine), -parallel (accepted; batching is always on),
+-bits, -v, -profile (JAX profiler trace instead of pprof).
+
+Usage:
+    python -m go_audio_resampler_tpu.cli.resample_wav in.wav out.wav \
+        -rate 48000 -quality high
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+CHUNK_FRAMES = 65536  # streaming chunk size (main.go:38)
+
+_QUALITY_NAMES = {
+    "quick": 0, "low": 1, "medium": 2, "high": 3, "veryhigh": 4,
+    "very_high": 4, "vhq": 4,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="resample-wav",
+        description="High-quality WAV sample rate converter (TPU-native)")
+    p.add_argument("input", help="input WAV file")
+    p.add_argument("output", help="output WAV file")
+    p.add_argument("-rate", type=float, default=48000,
+                   help="output sample rate in Hz (default 48000)")
+    p.add_argument("-quality", default="high",
+                   choices=sorted(set(_QUALITY_NAMES)),
+                   help="quality preset (default high)")
+    p.add_argument("-fast", action="store_true",
+                   help="use the float32 engine (~faster, slightly lower "
+                        "precision)")
+    p.add_argument("-parallel", action="store_true",
+                   help="accepted for compatibility; channels are always "
+                        "processed batched on the device")
+    p.add_argument("-bits", type=int, default=0, choices=[0, 16, 24, 32],
+                   help="output bit depth (default: match input)")
+    p.add_argument("-v", action="store_true", help="verbose output")
+    p.add_argument("-profile", metavar="DIR", default=None,
+                   help="write a JAX profiler trace to DIR")
+    return p
+
+
+def run(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..api import QualityPreset
+    from ..convenience import preset_to_engine_quality
+    from ..engine import EngineCore, plan_engine
+    from ..utils.wav import WavReader, WavWriter
+
+    preset = QualityPreset(_QUALITY_NAMES[args.quality])
+    dtype = np.float32
+    if not args.fast:
+        # The float64 engine needs x64; TPU backends are float32-native.
+        import jax
+        if jax.default_backend() == "cpu":
+            jax.config.update("jax_enable_x64", True)
+            dtype = np.float64
+        elif args.v:
+            print("note: float64 engine unavailable on this backend; "
+                  "using float32 (pass -fast to silence)")
+
+    try:
+        reader = WavReader(args.input)
+    except (ValueError, IOError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    in_rate = reader.sample_rate
+    out_rate = args.rate
+    channels = reader.channels
+    bits = args.bits or (reader.bits if reader.bits in (16, 24, 32) else 16)
+
+    if args.v:
+        print(f"input:  {args.input}: {in_rate} Hz, {channels} ch, "
+              f"{reader.bits}-bit, {reader.num_frames} frames")
+        print(f"output: {args.output}: {out_rate:.0f} Hz, {bits}-bit, "
+              f"quality={args.quality}, engine={'f32' if args.fast else 'f64'}")
+
+    if in_rate == out_rate:
+        print("input and output rates are equal; copying")
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        profile_ctx = True
+
+    try:
+        plan = plan_engine(float(in_rate), float(out_rate),
+                           preset_to_engine_quality(preset))
+        engine = EngineCore(plan, batch=channels, block=8192, dtype=dtype)
+        writer = WavWriter(args.output, int(out_rate), channels, bits)
+
+        t0 = time.perf_counter()
+        frames_done = 0
+        next_pct = 10
+        while True:
+            block = reader.read(CHUNK_FRAMES)       # [n, ch]
+            if block.shape[0] == 0:
+                break
+            y = engine.process(np.ascontiguousarray(block.T).astype(dtype))
+            writer.write(y.T)                        # [n_out, ch]
+            frames_done += block.shape[0]
+            if reader.num_frames:
+                pct = 100 * frames_done // reader.num_frames
+                while args.v and pct >= next_pct:
+                    print(f"  {next_pct}%")
+                    next_pct += 10
+        tail = engine.flush()
+        writer.write(tail.T)
+        writer.close()
+        reader.close()
+        elapsed = time.perf_counter() - t0
+        audio_secs = frames_done / in_rate
+        speed = audio_secs / elapsed if elapsed > 0 else float("inf")
+        print(f"resampled {frames_done} frames ({audio_secs:.2f} s of audio) "
+              f"in {elapsed:.2f} s ({speed:.1f}x realtime)")
+        return 0
+    finally:
+        if profile_ctx:
+            import jax
+            jax.profiler.stop_trace()
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()
