@@ -5,8 +5,10 @@ from .plan import EnginePlan, EngineConfigError, plan_engine, MIN_RATIO, MAX_RAT
 from .counts import LengthModel
 from .oneshot import oneshot
 from .streaming import EngineCore
+from .checkpoint import save_stream_state, load_stream_state
 
 __all__ = [
     "EnginePlan", "EngineConfigError", "plan_engine", "MIN_RATIO",
     "MAX_RATIO", "LengthModel", "oneshot", "EngineCore",
+    "save_stream_state", "load_stream_state",
 ]

@@ -212,7 +212,7 @@ class LengthModel:
         the reference's (see engine/stages.py) and no outputs are dropped.
         """
         if self.kind in ('dft_up', 'two_stage'):
-            return (self.pre_taps - 1) * self.factor
+            return max(self.pre_taps - 1, 0) * self.factor
         return 0
 
     def drop_prefix(self) -> int:

@@ -144,6 +144,8 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str) -> jax.Array:
 
     if plan.kind == 'dft_up':
         t1, f = plan.pre_taps, plan.factor
+        if f == 1:
+            return x  # unity ratio: pass-through (dft_stage.go:57-59)
         xext = jnp.pad(x, ((0, 0), (t1 - 1, z)))
         coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
         u = prestage_apply(coeffs, xext, f)

@@ -289,6 +289,45 @@ def hermite4(w: jax.Array, x: jax.Array) -> jax.Array:
     return ((a * xx + b) * xx + c) * xx + s0
 
 
+def linear2(w: jax.Array, x: jax.Array) -> jax.Array:
+    """2-point linear interpolation: w [S, C, 2], x [C] -> [S, C].
+
+    Counterpart of the reference's LinearStage kernel (cubic.go:158-183):
+    y = (1-x)*prev + x*current.  Faster but lower quality than cubic; kept
+    for capability parity (the planner never selects it, matching the
+    reference where LinearStage is unused by the planner).
+    """
+    prev, cur = w[..., 0], w[..., 1]
+    xx = x[None, :].astype(w.dtype)
+    return (1.0 - xx) * prev + xx * cur
+
+
+def linear_process(state: CubicState, x: jax.Array, cubic_step: int, cap: int):
+    """Streaming linear-interpolation step (LinearStage, cubic.go:141-229).
+
+    Shares CubicState (the 3-sample carry is wider than the 1 sample
+    needed; the walk and bookkeeping are identical to the cubic stage).
+    """
+    b = x.shape[1]
+    histbuf = jnp.concatenate([state.carry.astype(x.dtype), x], axis=1)
+    q = cubic_step >> 32
+    s_f1 = (cubic_step >> 16) & 0xFFFF
+    s_f0 = cubic_step & 0xFFFF
+    i, frac = walk32(state.at_int, state.at_f1, state.at_f0, q, s_f1, s_f0,
+                     cap, dtype=x.dtype)
+    valid = i < I32(b)
+    # window [prev, cur] = histbuf[i+2 : i+4] (carry width 3 keeps layout)
+    w = gather_windows(histbuf, jnp.clip(i, 0, b - 1) + I32(2), 2)
+    y = linear2(w, frac.astype(x.dtype))
+    y = y * valid.astype(y.dtype)[None, :]
+    n_out = valid.astype(I32).sum(dtype=I32)
+    at_int, at_f1, at_f0 = _advance32(
+        state.at_int, state.at_f1, state.at_f0, q, s_f1, s_f0, n_out)
+    new_state = CubicState(carry=histbuf[:, b:], at_int=at_int - I32(b),
+                           at_f1=at_f1, at_f0=at_f0)
+    return new_state, y, valid, n_out
+
+
 def cubic_process(state: CubicState, x: jax.Array, cubic_step: int, cap: int):
     """Streaming cubic interpolation step over a fixed block."""
     b = x.shape[1]

@@ -116,7 +116,8 @@ class EngineCore:
             return CubicState(carry=jnp.zeros((s, 3), d),
                               at_int=I32(0), at_f1=I32(0), at_f0=I32(0))
         if p.kind == 'dft_up':
-            return PrestageState(carry=jnp.zeros((s, p.pre_taps - 1), d))
+            return PrestageState(
+                carry=jnp.zeros((s, max(p.pre_taps - 1, 0)), d))
         if p.kind == 'decimate':
             return DecimState(carry=jnp.zeros((s, p.decim_taps - 1), d),
                               next_rel=I32(p.decim_taps - 1))
@@ -132,6 +133,9 @@ class EngineCore:
             return lambda state, x: _step_cubic(
                 state, x, cubic_step=p.cubic_step, cap=self.cubic_cap)
         if p.kind == 'dft_up':
+            if p.factor == 1:
+                # unity ratio: pass-through (dft_stage.go:57-59)
+                return lambda state, x: (state, x, I32(x.shape[1]))
             return lambda state, x: _step_dft_up(
                 self.pre_coeffs, state, x, factor=p.factor)
         if p.kind == 'decimate':
