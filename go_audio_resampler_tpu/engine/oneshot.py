@@ -84,11 +84,97 @@ def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
         div_t, K_t = args
         w = gather_windows(u, div_t, plan.poly_taps)          # [S, tile, T2]
         return jnp.einsum('sct,ct->sc', w, K_t,
-                          preferred_element_type=u.dtype)
+                          preferred_element_type=u.dtype,
+                          precision=lax.Precision.HIGHEST)
 
     y = lax.map(tile_fn, (div_r, K_r))                        # [n_tiles, S, tile]
     y = jnp.transpose(y, (1, 0, 2)).reshape(u.shape[0], padded)
     return y[:, :count]
+
+
+_FUSED_CACHE: dict = {}
+
+
+def _fused_rational_matrix(plan: EnginePlan):
+    """Compose prestage + polyphase into one per-period matrix over x.
+
+    For exact-rational ratios both stages are periodically time-varying
+    linear operators; their composition is again periodic.  With the
+    engine's alignment (prestage zero-carry + at0 = (T1-1)*F*L<<16) the
+    m-th frame of the composed operator starts exactly at x[m * Ipx]:
+
+      output j = m*P2 + r  reads u[delta + m*Ipu + (r*s)//L : +T2]
+      u[i*F + p][x] = sum_tau pre[p, tau] * x[i + tau - (T1-1)]
+      => x-coefficient index rel. frame start = (div+t)//F + tau - (T1-1)
+         - m*Ipx, which is >= 0 with min 0 (delta//F == T1-1).
+
+    Returns (R [P2, Wx], P2 outputs/period, Ipx input samples/period).
+    Computed once per plan in float64 and cached.
+    """
+    key = id(plan)
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+    s = plan.step >> PHASE_FRAC_BITS
+    L = plan.num_phases
+    F = plan.factor
+    T1 = plan.pre_taps
+    T2 = plan.poly_taps
+    g = math.gcd(s, L)
+    P = L // g
+    Ip = s // g                      # u samples per P outputs
+    k = F // math.gcd(Ip, F)         # periods to make the u stride F-aligned
+    P2 = k * P
+    Ipu = k * Ip
+    Ipx = Ipu // F                   # input samples per frame
+    delta = plan.lengths.core_delta()
+    assert delta // F == T1 - 1 and delta % F == 0
+
+    pre = plan.pre_coeffs            # [F, T1] float64, tap-reversed
+    A = plan.bank_a                  # [L, T2] float64, tap-reversed
+    wx = (delta + Ipu - 1 + T2 - 1) // F + (T1 - 1) - (T1 - 1) + 1
+    R = np.zeros((P2, wx), dtype=np.float64)
+    max_j = 0
+    for r in range(P2):
+        o_r = delta + (r * s) // L   # u index of window start (m=0 frame)
+        ph = (r * s) % L
+        for t in range(T2):
+            m_u = o_r + t
+            i = m_u // F
+            p = m_u % F
+            a = A[ph, t]
+            if a == 0.0:
+                continue
+            # u[m_u] = sum_tau pre[p, tau] * x[i + tau - (T1-1)]
+            j0 = i - (T1 - 1)
+            R[r, j0:j0 + T1] += a * pre[p]
+            max_j = max(max_j, j0 + T1 - 1)
+    R = R[:, :max_j + 1]
+    _FUSED_CACHE[key] = (R, P2, Ipx)
+    return _FUSED_CACHE[key]
+
+
+def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
+                               dtype) -> jax.Array:
+    """One matmul for the whole two-stage cascade (MXU fast path).
+
+    ``x`` is the raw input padded on the right with the flush zeros (no
+    left padding).  Halves HBM traffic vs. the unfused path: no
+    intermediate upsampled stream or u-frames are materialized.
+    """
+    R, P2, Ipx = _fused_rational_matrix(plan)
+    wx = R.shape[1]
+    n_frames = -(-count // P2)
+    need = (n_frames - 1) * Ipx + wx
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    starts = jnp.asarray(np.arange(n_frames, dtype=np.int64) * Ipx,
+                         dtype=jnp.int32)
+    frames = gather_windows(x, starts, wx)                  # [S, F, Wx]
+    Rt = jnp.asarray(R.T, dtype=dtype)                      # [Wx, P2]
+    y = jnp.einsum('sfw,wp->sfp', frames, Rt,
+                   preferred_element_type=x.dtype,
+                          precision=lax.Precision.HIGHEST)
+    return y.reshape(x.shape[0], n_frames * P2)[:, :count]
 
 
 def _poly_apply_rational(plan: EnginePlan, u: jax.Array, count: int,
@@ -105,7 +191,8 @@ def _poly_apply_rational(plan: EnginePlan, u: jax.Array, count: int,
     frames = gather_windows(u, starts, W)                     # [S, F, W]
     Rt = jnp.asarray(R.T, dtype=dtype)                        # [W, P]
     y = jnp.einsum('sfw,wp->sfp', frames, Rt,
-                   preferred_element_type=u.dtype)
+                   preferred_element_type=u.dtype,
+                          precision=lax.Precision.HIGHEST)
     return y.reshape(u.shape[0], n_frames * P)[:, :count]
 
 
@@ -164,9 +251,11 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str) -> jax.Array:
 
     # two_stage
     t1, f = plan.pre_taps, plan.factor
+    if plan.is_rational_exact:
+        # Fused path: both stages composed into one banded matmul over x.
+        return _poly_apply_rational_fused(
+            plan, jnp.pad(x, ((0, 0), (0, z))), canonical, dtype)
     xext = jnp.pad(x, ((0, 0), (t1 - 1, z)))
     coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
     u = prestage_apply(coeffs, xext, f)                       # [S, F*(n+z)]
-    if plan.is_rational_exact:
-        return _poly_apply_rational(plan, u, canonical, dtype)
     return _poly_apply_general(plan, u, canonical, dtype)

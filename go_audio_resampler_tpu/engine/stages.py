@@ -198,7 +198,8 @@ def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
         K = poly_coeff_matrix(banks, phase_t, x_t)          # [tile, T2]
         w = gather_windows(hist, div_t, taps)               # [S, tile, T2]
         return jnp.einsum('sct,ct->sc', w, K.astype(hist.dtype),
-                          preferred_element_type=hist.dtype)
+                          preferred_element_type=hist.dtype,
+                          precision=lax.Precision.HIGHEST)
 
     if out_tile and cap > out_tile and cap % out_tile == 0:
         n_tiles = cap // out_tile

@@ -46,7 +46,8 @@ def _conv_xla(x: jax.Array, kernels: jax.Array, stride: int) -> jax.Array:
         x[:, None, :], kernels[:, None, :].astype(x.dtype),
         window_strides=(stride,), padding='VALID',
         dimension_numbers=('NCH', 'OIH', 'NCH'),
-        preferred_element_type=x.dtype)
+        preferred_element_type=x.dtype,
+                          precision=lax.Precision.HIGHEST)
 
 
 def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
@@ -61,7 +62,8 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
                        0, n - 1)
         w = jnp.take(x, idx, axis=1)                     # [S, n_out, T]
         return jnp.einsum('sct,ft->sfc', w, k,
-                          preferred_element_type=x.dtype)
+                          preferred_element_type=x.dtype,
+                          precision=lax.Precision.HIGHEST)
     padded = -(-n_out // tile) * tile
     starts = lax.iota(jnp.int32, padded) * stride
     idx = jnp.clip(starts[:, None] + lax.iota(jnp.int32, t)[None, :], 0, n - 1)
@@ -70,7 +72,8 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
     def tile_fn(ix):
         w = jnp.take(x, ix, axis=1)                      # [S, tile, T]
         return jnp.einsum('sct,ft->sfc', w, k,
-                          preferred_element_type=x.dtype)
+                          preferred_element_type=x.dtype,
+                          precision=lax.Precision.HIGHEST)
 
     y = lax.map(tile_fn, idx_r)                          # [ntiles, S, F, tile]
     y = jnp.moveaxis(y, 0, 2).reshape(x.shape[0], f, padded)
