@@ -1,0 +1,103 @@
+"""Full benchmark matrix: the five BASELINE.json configurations.
+
+Writes benchmarks/results.json and prints one line per config.  Uses the
+slope method (marginal samples / marginal time between two batch sizes) to
+cancel the axon tunnel's fixed per-call sync latency; see bench.py.
+
+Configs (BASELINE.json):
+  1. one-shot mono 44.1k->48k QualityHigh (1 s sine)
+  2. stereo streaming 48k->44.1k float32
+  3. quality preset sweep Quick -> VeryHigh (44.1k->48k)
+  4. 8-channel 96k->48k (surround hot path)
+  5. 256 concurrent mono streams 48k->16k (ML ingest)
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+
+def median_time(fn, iters=5):
+    import jax
+    jax.block_until_ready(fn())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def slope_msps(make_fn, s_small, s_large, n):
+    """Marginal Msamples/s between two batch sizes."""
+    f_small = make_fn(s_small)
+    f_large = make_fn(s_large)
+    t_small = median_time(f_small)
+    t_large = median_time(f_large)
+    return (s_large - s_small) * n / max(t_large - t_small, 1e-9) / 1e6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from go_audio_resampler_tpu.engine import plan_engine
+    from go_audio_resampler_tpu.engine.oneshot import _oneshot_jit
+    from go_audio_resampler_tpu.filterdesign import Quality
+
+    on_tpu = jax.default_backend() != 'cpu'
+    scale = 1 if on_tpu else 32  # shrink batches for CPU smoke runs
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def oneshot_bench(inr, outr, q, n, s_small, s_large, dtype='float32'):
+        plan = plan_engine(float(inr), float(outr), q)
+
+        def make(s):
+            x = jnp.asarray(rng.normal(size=(s, n)).astype(np.float32) * 0.5)
+
+            @jax.jit
+            def f():
+                return jnp.sum(_oneshot_jit(plan, x, dtype))
+            return f
+        return slope_msps(make, max(s_small // scale, 1),
+                          max(s_large // scale, 2), n)
+
+    # 1. one-shot mono 44.1k->48k High
+    results["oneshot_mono_44k_48k_high"] = oneshot_bench(
+        44100, 48000, Quality.HIGH, 44100, 256, 1024)
+
+    # 2. "stereo streaming" 48k->44.1k: 2-lane batches
+    results["stereo_48k_44k_high_f32"] = oneshot_bench(
+        48000, 44100, Quality.HIGH, 48000, 256, 1024)
+
+    # 3. preset sweep at 44.1k->48k
+    for q, name in [(Quality.QUICK, "quick"), (Quality.LOW, "low"),
+                    (Quality.MEDIUM, "medium"), (Quality.HIGH, "high"),
+                    (Quality.VERY_HIGH, "veryhigh")]:
+        results[f"sweep_{name}"] = oneshot_bench(
+            44100, 48000, q, 44100, 128, 512)
+
+    # 4. 8-channel surround 96k->48k (integer decimation path)
+    results["surround_8ch_96k_48k"] = oneshot_bench(
+        96000, 48000, Quality.HIGH, 96000, 64, 256)
+
+    # 5. ML ingest: 256 concurrent mono streams 48k->16k
+    results["ml_ingest_256x_48k_16k"] = oneshot_bench(
+        48000, 16000, Quality.HIGH, 48000, 256, 512)
+
+    for k, v in results.items():
+        print(f"{k}: {v:.0f} Msamples/s")
+    out = pathlib.Path(__file__).parent / "results.json"
+    out.write_text(json.dumps(
+        {"unit": "Msamples/s input throughput per chip",
+         "backend": jax.default_backend(), "results":
+         {k: round(v, 1) for k, v in results.items()}}, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -159,11 +159,33 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
 
     ``x`` is the raw input padded on the right with the flush zeros (no
     left padding).  Halves HBM traffic vs. the unfused path: no
-    intermediate upsampled stream or u-frames are materialized.
+    intermediate upsampled stream or u-frames are materialized.  On TPU
+    with float32 and VMEM-compatible shapes the Pallas kernel
+    (ops/pallas_fused.py) assembles the overlapping frames on-chip,
+    reaching the read-x-once bandwidth floor.
     """
+    from ..ops import pallas_fused as pf
+
     R, P2, Ipx = _fused_rational_matrix(plan)
     wx = R.shape[1]
     n_frames = -(-count // P2)
+
+    use_pallas = (jax.default_backend() == 'tpu'
+                  and jnp.dtype(dtype) == jnp.float32)
+    if use_pallas:
+        nf_pad = -(-n_frames // pf.FRAME_TILE) * pf.FRAME_TILE
+        s_pad = -(-x.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
+        need = (nf_pad - 1) * Ipx + wx
+        if pf.fused_fits_vmem(need, wx, P2, nf_pad):
+            xp = jnp.pad(x.astype(jnp.float32),
+                         ((0, s_pad - x.shape[0]),
+                          (0, max(0, need - x.shape[1]))))
+            xp = xp[:, :need]
+            rt = jnp.asarray(R.T, dtype=jnp.float32)
+            y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P2,
+                                         n_frames=nf_pad)
+            return y[:x.shape[0], :count]
+
     need = (n_frames - 1) * Ipx + wx
     if x.shape[1] < need:
         x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
