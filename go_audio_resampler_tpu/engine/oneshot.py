@@ -15,6 +15,7 @@ SURVEY.md section 3.3), producing the same canonical sample stream.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import numpy as np
@@ -170,21 +171,25 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     wx = R.shape[1]
     n_frames = -(-count // P2)
 
-    use_pallas = (jax.default_backend() == 'tpu'
-                  and jnp.dtype(dtype) == jnp.float32)
+    tf = pf.frame_tile_for(P2)
+    # The Pallas kernel is correct on TPU but currently slower than the
+    # XLA fused matmul (8.5 vs 32.6 Gsamples/s: its small grid steps and
+    # host-side relayout dominate); opt in via GAR_TPU_USE_PALLAS=1 while
+    # the tiling is being improved.
+    use_pallas = (os.environ.get('GAR_TPU_USE_PALLAS') == '1'
+                  and jax.default_backend() == 'tpu'
+                  and jnp.dtype(dtype) == jnp.float32
+                  and wx - Ipx < tf * Ipx)
     if use_pallas:
-        nf_pad = -(-n_frames // pf.FRAME_TILE) * pf.FRAME_TILE
+        n_tiles = -(-count // (tf * P2))
         s_pad = -(-x.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
-        need = (nf_pad - 1) * Ipx + wx
-        if pf.fused_fits_vmem(need, wx, P2, nf_pad):
-            xp = jnp.pad(x.astype(jnp.float32),
-                         ((0, s_pad - x.shape[0]),
-                          (0, max(0, need - x.shape[1]))))
-            xp = xp[:, :need]
-            rt = jnp.asarray(R.T, dtype=jnp.float32)
-            y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P2,
-                                         n_frames=nf_pad)
-            return y[:x.shape[0], :count]
+        xlen = n_tiles * tf * Ipx + (wx - Ipx)
+        xp = jnp.pad(x.astype(jnp.float32),
+                     ((0, s_pad - x.shape[0]),
+                      (0, max(0, xlen - x.shape[1]))))[:, :xlen]
+        rt = jnp.asarray(R.T, dtype=jnp.float32)
+        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P2)
+        return y[:x.shape[0], :count]
 
     need = (n_frames - 1) * Ipx + wx
     if x.shape[1] < need:

@@ -2,25 +2,32 @@
 
 The XLA fused path (engine/oneshot._poly_apply_rational_fused) materializes
 overlapping input frames in HBM (a ~2.4x read amplification for CD->DAT)
-before the MXU matmul.  This kernel keeps the raw input in VMEM, assembles
-the overlapping frames with on-chip copies, and feeds the MXU directly:
-HBM traffic drops to one read of x plus one write of y, which is the
-bandwidth floor for this operator.
+before the MXU matmul.  This kernel assembles the overlapping frames
+on-chip instead, cutting HBM traffic to ~one read of x (plus a small
+tile-tail sideband and a host-side relayout) and one write of y.
 
-Per grid step (one stream tile):
-  x_vmem  [TS, n_pad]                      (pipelined in by pallas)
-  for each frame tile ft:
-      frames[f*TS + s, :] = x_vmem[s, (ft*TF + f)*Ipx : +Wx]   (VMEM copies)
-      out = frames @ R                      (MXU, [TS*TF, Wx] x [Wx, P2])
-      y_vmem[:, (ft*TF+f)*P2 : +P2] = out rows of frame f
+Mosaic constraints honored (the axon remote compiler rejects dynamic-start
+slices, and block/last-two-dims must be (8,128)-aligned or full):
 
-Used for the one-shot exact-rational path when shapes fit VMEM; falls back
-to the XLA path otherwise (see engine/oneshot.py).
+- input is relaid host-side to [n_tiles, S, TF*Ipx] so BlockSpec delivers
+  aligned, NON-overlapping tiles (last dim full);
+- the inter-tile overlap is a precomputed [n_tiles, S, tail_pad] sideband;
+- every kernel slice has a Python-constant start and full width: frame
+  reads are WX_PAD wide (junk tail columns are nulled by zero rows in the
+  padded matrix R), and the output block is written in one full-width
+  store after an on-chip relayout.
+
+Per grid step (i = stream tile, j = frame tile):
+  xv = concat(x_tile[TS, TF*Ipx], tail[TS, tail_pad])         (VMEM scratch)
+  frames[f*TS:(f+1)*TS, :] = xv[:, f*Ipx : f*Ipx + WX_PAD]    (static)
+  out = frames @ R_pad                   (MXU [TS*TF, WX_PAD] x [WX_PAD, P2])
+  y_tile = relayout(out)  ->  y_ref[:, :] = y_tile            (full store)
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -30,82 +37,90 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 STREAM_TILE = 8          # sublane-aligned stream tile
-FRAME_TILE = 16          # frames per MXU call: rows = TS*TF = 128
-# VMEM budget guard: x row + y row + frames + R (float32 bytes)
-VMEM_LIMIT_BYTES = 10 * 1024 * 1024
 
 
-def _kernel(x_ref, r_ref, y_ref, frames_ref, *, n_frame_tiles: int,
-            ipx: int, wx: int, p2: int):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def frame_tile_for(p2: int) -> int:
+    """Frames per grid step: smallest multiple of 128/gcd(p2,128) >= 16."""
+    tf0 = 128 // math.gcd(p2, 128)
+    return tf0 * max(1, -(-16 // tf0))
+
+
+def _kernel(x_ref, tail_ref, r_ref, y_ref, xv_ref, frames_ref, *,
+            ipx: int, wx_pad: int, p2: int, tf: int, tile_in: int,
+            tail_pad: int):
     ts = STREAM_TILE
-    tf = FRAME_TILE
-
-    def frame_tile(ft, _):
-        base = ft * tf
-        # Assemble overlapping frames in VMEM (unrolled static copies with
-        # a dynamic tile offset).
-        for f in range(tf):
-            start = (base + f) * ipx
-            frames_ref[f * ts:(f + 1) * ts, :] = (
-                x_ref[:, pl.ds(start, wx)])
-        out = jnp.dot(frames_ref[:, :], r_ref[:, :],
-                      preferred_element_type=jnp.float32,
-                      precision=lax.Precision.HIGHEST)   # [TF*TS, P2]
-        for f in range(tf):
-            y_ref[:, pl.ds((base + f) * p2, p2)] = (
-                out[f * ts:(f + 1) * ts, :])
-        return 0
-
-    lax.fori_loop(0, n_frame_tiles, frame_tile, 0)
+    xv_ref[:, :tile_in] = x_ref[0, :, :]
+    xv_ref[:, tile_in:tile_in + tail_pad] = tail_ref[0, :, :]
+    for f in range(tf):
+        frames_ref[f * ts:(f + 1) * ts, :] = (
+            xv_ref[:, f * ipx:f * ipx + wx_pad])
+    out = jnp.dot(frames_ref[:, :], r_ref[:, :],
+                  preferred_element_type=jnp.float32,
+                  precision=lax.Precision.HIGHEST)       # [TF*TS, P2]
+    for f in range(tf):
+        y_ref[:, f, :] = out[f * ts:(f + 1) * ts, :]
 
 
-@functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'n_frames',
-                                             'interpret'))
+@functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'interpret'))
 def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
-                          p2: int, n_frames: int,
-                          interpret: bool = False) -> jax.Array:
-    """y[s, m*P2 + r] = sum_w x[s, m*Ipx + w] * R[r, w].
+                          p2: int, interpret: bool = False) -> jax.Array:
+    """y[s, m*P2 + r] = sum_w x[s, m*Ipx + w] * r_t[w, r].
 
-    ``x`` [S, n_pad] float32 with S % STREAM_TILE == 0,
-    n_frames % FRAME_TILE == 0 and n_pad >= (n_frames-1)*Ipx + Wx;
-    ``r_t`` [Wx, P2] is the transposed period matrix.
-    Returns y [S, n_frames * P2].
+    ``x`` [S, n] float32, S % STREAM_TILE == 0; ``r_t`` [Wx, P2].
+    Computes n_tiles = floor(n / (TF*Ipx)) full frame tiles; the input must
+    cover n_tiles*TF*Ipx + (Wx - Ipx) samples (pad with zeros).
+    Returns y [S, n_tiles * TF * P2].
     """
-    s, n_pad = x.shape
-    assert s % STREAM_TILE == 0
-    assert n_frames % FRAME_TILE == 0
-    n_frame_tiles = n_frames // FRAME_TILE
-    out_len = n_frames * p2
+    s, n = x.shape
+    ts = STREAM_TILE
+    tf = frame_tile_for(p2)
+    assert s % ts == 0
+    tile_in = tf * ipx
+    n_tiles = n // tile_in
+    assert n_tiles >= 1
+    wx_pad = _round_up(wx, 128)
+    # xv must cover the last frame's padded read: (tf-1)*ipx + wx_pad
+    xv_len = _round_up(max(tile_in + 128, (tf - 1) * ipx + wx_pad), 128)
+    tail_pad = xv_len - tile_in
 
-    kernel = functools.partial(_kernel, n_frame_tiles=n_frame_tiles,
-                               ipx=ipx, wx=wx, p2=p2)
-    grid = (s // STREAM_TILE,)
-    return pl.pallas_call(
+    # Host/XLA relayouts: aligned main tiles + overlap sideband.
+    xp = jnp.pad(x, ((0, 0), (0, tile_in + tail_pad)))
+    x_main = jnp.transpose(
+        xp[:, :n_tiles * tile_in].reshape(s, n_tiles, tile_in),
+        (1, 0, 2))                              # [n_tiles, S, tile_in]
+    starts = (np.arange(n_tiles, dtype=np.int64) + 1) * tile_in
+    idx = jnp.asarray(starts[:, None] + np.arange(tail_pad)[None, :],
+                      dtype=jnp.int32)
+    tails = jnp.transpose(jnp.take(xp, idx, axis=1),
+                          (1, 0, 2))            # [n_tiles, S, tail_pad]
+    r_pad = jnp.zeros((wx_pad, p2), jnp.float32).at[:wx, :].set(
+        r_t.astype(jnp.float32))
+
+    kernel = functools.partial(_kernel, ipx=ipx, wx_pad=wx_pad, p2=p2,
+                               tf=tf, tile_in=tile_in, tail_pad=tail_pad)
+    y3 = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(s // ts, n_tiles),
         in_specs=[
-            pl.BlockSpec((STREAM_TILE, n_pad), lambda i: (i, 0),
+            pl.BlockSpec((1, ts, tile_in), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wx, p2), lambda i: (0, 0),
+            pl.BlockSpec((1, ts, tail_pad), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wx_pad, p2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((STREAM_TILE, out_len), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ts, tf, p2), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, out_len), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s, n_tiles * tf, p2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((STREAM_TILE * FRAME_TILE, wx), jnp.float32),
+            pltpu.VMEM((ts, xv_len), jnp.float32),
+            pltpu.VMEM((ts * tf, wx_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(x, r_t)
-
-
-def fused_fits_vmem(n_pad: int, wx: int, p2: int, n_frames: int) -> bool:
-    """Conservative VMEM budget check for one grid step."""
-    ts, tf = STREAM_TILE, FRAME_TILE
-    bytes_needed = 4 * (
-        ts * n_pad               # x block
-        + ts * n_frames * p2     # y block
-        + ts * tf * wx           # frames scratch
-        + wx * p2                # R
-    ) * 2                        # double buffering headroom
-    return bytes_needed <= VMEM_LIMIT_BYTES
+    )(x_main, tails, r_pad)
+    # Row-major [S, NF, P2] -> [S, NF*P2] is a contiguous (free) reshape.
+    return y3.reshape(s, n_tiles * tf * p2)

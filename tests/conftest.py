@@ -24,6 +24,6 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: XLA:CPU compiles of the conv/gather programs
 # take seconds each; cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/gar_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/gar_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

@@ -1,0 +1,57 @@
+"""Pallas fused-resampling kernel: interpret-mode correctness.
+
+The compiled-mode path is exercised on real TPU hardware (bench.py and the
+driver); here the kernel's logic is validated in the Pallas interpreter
+against a dense-frames einsum reference.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from go_audio_resampler_tpu.engine import plan_engine
+from go_audio_resampler_tpu.engine.oneshot import _fused_rational_matrix
+from go_audio_resampler_tpu.ops import pallas_fused as pf
+from go_audio_resampler_tpu.filterdesign import Quality
+
+
+def reference(x, R, Ipx, nf):
+    wx = R.shape[1]
+    xp = np.pad(x, ((0, 0), (0, wx)))
+    frames = np.stack([xp[:, m * Ipx:m * Ipx + wx] for m in range(nf)], axis=1)
+    return np.einsum('sfw,pw->sfp', frames.astype(np.float64),
+                     R).reshape(x.shape[0], nf * R.shape[0])
+
+
+class TestFusedKernelInterpret:
+    def test_cd_dat_matches_reference(self):
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        R, P2, Ipx = _fused_rational_matrix(plan)
+        wx = R.shape[1]
+        tf = pf.frame_tile_for(P2)
+        n_tiles = 3
+        n = n_tiles * tf * Ipx + (wx - Ipx)
+        x = np.random.default_rng(0).normal(size=(8, n)).astype(np.float32)
+        y = np.asarray(pf.fused_resample_pallas(
+            jnp.asarray(x), jnp.asarray(R.T, dtype=jnp.float32),
+            ipx=Ipx, wx=wx, p2=P2, interpret=True))
+        y_ref = reference(x, R, Ipx, n_tiles * tf)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(y, y_ref, atol=5e-6)
+
+    def test_frame_tile_alignment_rule(self):
+        # tf*p2 must be 128-divisible (Mosaic block constraint)
+        for p2 in (1, 2, 80, 147, 160, 256):
+            tf = pf.frame_tile_for(p2)
+            assert (tf * p2) % 128 == 0
+            assert tf >= 1
+
+    def test_stream_tile_requirement(self):
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        R, P2, Ipx = _fused_rational_matrix(plan)
+        wx = R.shape[1]
+        x = np.zeros((5, 4000), np.float32)  # 5 % 8 != 0
+        with pytest.raises(AssertionError):
+            pf.fused_resample_pallas(jnp.asarray(x),
+                                     jnp.asarray(R.T, dtype=jnp.float32),
+                                     ipx=Ipx, wx=wx, p2=P2, interpret=True)
