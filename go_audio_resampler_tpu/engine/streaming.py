@@ -21,6 +21,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .plan import EnginePlan
 from . import stages
@@ -64,6 +65,32 @@ def _step_two_stage(pre_coeffs, banks, state, x, factor, num_phases, taps,
     return (pre_state, poly_state), y, n
 
 
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'))
+def _step_rational_fused(r_t, carry, x, ipx, wx, p2):
+    """Fused streaming step for exact-rational two-stage plans.
+
+    The whole cascade is one periodic banded operator (see
+    oneshot._fused_rational_matrix).  With the block size a multiple of the
+    input period Ipx, every step emits exactly (B/Ipx)*P2 samples: frames
+    are gathered from [carry ++ block] at static period-aligned starts and
+    hit the MXU in one matmul — the streaming analog of the one-shot fused
+    path.  The leading (C/Ipx)*P2 outputs of the stream are the zero-carry
+    convolution ramp; the wrapper drops them (same mechanism as the
+    single-stage DFT topology).
+    """
+    b = x.shape[1]
+    n_frames = b // ipx
+    data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)  # [S, C+B]
+    starts = lax.iota(jnp.int32, n_frames) * I32(ipx)
+    frames = stages.gather_windows(data, starts, wx)            # [S, F, Wx]
+    y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(x.dtype),
+                   preferred_element_type=x.dtype,
+                   precision=lax.Precision.HIGHEST)
+    y = y.reshape(x.shape[0], n_frames * p2)
+    new_carry = data[:, b:]
+    return new_carry, y, I32(n_frames * p2)
+
+
 class EngineCore:
     """Stateful streaming resampler over a batch of independent streams.
 
@@ -95,15 +122,32 @@ class EngineCore:
         p = self.plan
         if p.kind in ('dft_up', 'two_stage'):
             self.pre_coeffs = jnp.asarray(p.pre_coeffs, dtype=self.dtype)
+        self._drop_override = None
+        self.rational_fused = False
         if p.kind == 'two_stage':
-            self.banks = tuple(jnp.asarray(b, dtype=self.dtype) for b in
-                               (p.bank_a, p.bank_b, p.bank_c, p.bank_d))
-            m = self.block * p.factor
-            self.poly_cap = _ceil_div(m * p.num_phases * 65536, p.step) + 1
-            # keep = residual history bound (see stages.py poly_process)
-            step_in = _ceil_div(p.step, p.num_phases * 65536)
-            self.poly_keep = p.poly_taps + step_in + 2
-            self.hist_size = self.poly_keep + m + p.lengths.core_delta()
+            if p.is_rational_exact:
+                # Fused streaming: the whole cascade as one periodic banded
+                # matmul (see _step_rational_fused).
+                from .oneshot import _fused_rational_matrix
+                r, p2, ipx = _fused_rational_matrix(p)
+                self.rational_fused = True
+                self._rational_rt = jnp.asarray(r.T, dtype=self.dtype)
+                self._rational_p2 = p2
+                self._rational_ipx = ipx
+                self._rational_wx = r.shape[1]
+                self.block = _ceil_div(self.block, ipx) * ipx
+                self._rational_carry = _ceil_div(
+                    max(self._rational_wx - ipx, 0), ipx) * ipx
+                self._drop_override = (self._rational_carry // ipx) * p2
+            else:
+                self.banks = tuple(jnp.asarray(b, dtype=self.dtype) for b in
+                                   (p.bank_a, p.bank_b, p.bank_c, p.bank_d))
+                m = self.block * p.factor
+                self.poly_cap = _ceil_div(m * p.num_phases * 65536, p.step) + 1
+                # keep = residual history bound (see stages.py poly_process)
+                step_in = _ceil_div(p.step, p.num_phases * 65536)
+                self.poly_keep = p.poly_taps + step_in + 2
+                self.hist_size = self.poly_keep + m + p.lengths.core_delta()
         if p.kind == 'decimate':
             self.decim_coeffs = jnp.asarray(p.decim_coeffs, dtype=self.dtype)
             self.decim_cap = _ceil_div(self.block, p.factor) + 1
@@ -122,6 +166,8 @@ class EngineCore:
             return DecimState(carry=jnp.zeros((s, p.decim_taps - 1), d),
                               next_rel=I32(p.decim_taps - 1))
         # two_stage
+        if self.rational_fused:
+            return jnp.zeros((s, self._rational_carry), d)
         return (PrestageState(carry=jnp.zeros((s, p.pre_taps - 1), d)),
                 PolyState(hist=jnp.zeros((s, self.hist_size), d),
                           hist_len=I32(0),
@@ -141,6 +187,10 @@ class EngineCore:
         if p.kind == 'decimate':
             return lambda state, x: _step_decim(
                 self.decim_coeffs, state, x, factor=p.factor)
+        if self.rational_fused:
+            return lambda state, x: _step_rational_fused(
+                self._rational_rt, state, x, ipx=self._rational_ipx,
+                wx=self._rational_wx, p2=self._rational_p2)
         return lambda state, x: _step_two_stage(
             self.pre_coeffs, self.banks, state, x, factor=p.factor,
             num_phases=p.num_phases, taps=p.poly_taps, step_hi=p.step_hi,
@@ -165,7 +215,8 @@ class EngineCore:
 
     def _emit(self, core_out: np.ndarray, limit: int | None) -> np.ndarray:
         """Apply the transient-prefix drop and the canonical limit."""
-        drop = self.plan.lengths.drop_prefix()
+        drop = (self._drop_override if self._drop_override is not None
+                else self.plan.lengths.drop_prefix())
         start = 0
         if self._core_emitted < drop:
             start = min(drop - self._core_emitted, core_out.shape[1])
@@ -230,14 +281,23 @@ class EngineCore:
         for i in range(n_blocks):
             blk = tail[:, i * self.block:(i + 1) * self.block]
             outs.append(self._emit(self._run_block(blk), canonical_total))
+        # Safety: some cores (e.g. the fused-rational step with its
+        # block-granular emission) may need extra zero blocks to reach the
+        # canonical count; feed until covered.
+        guard = 0
+        while self.samples_out < canonical_total:
+            zeros_blk = np.zeros((self.batch, self.block), dtype=self.dtype)
+            outs.append(self._emit(self._run_block(zeros_blk),
+                                   canonical_total))
+            guard += 1
+            if guard > 1000:
+                raise AssertionError(
+                    "internal: flush under-produced "
+                    f"({self.samples_out} < {canonical_total})")
         if outs:
             out = np.concatenate(outs, axis=1)
         else:
             out = np.zeros((self.batch, 0), dtype=self.dtype)
-        if self.samples_out < canonical_total:
-            raise AssertionError(
-                "internal: flush under-produced "
-                f"({self.samples_out} < {canonical_total})")
         return out
 
     # -- introspection (resample.go:339-355, resampler.go:342-353) ---------

@@ -62,14 +62,13 @@ class TestShardedStreaming:
         # Exact count from the length model (includes filter holdback)
         total = sum(ns)
         assert total == plan.lengths.core_emitted(4 * 128)
-        # Matches the unsharded streaming engine lane-for-lane
-        from go_audio_resampler_tpu.engine import EngineCore
-        eng = EngineCore(plan, batch=8, block=128, dtype=np.float32)
-        ref = np.concatenate(
-            [eng.process(np.tile(np.asarray(x), (1, 1))) for _ in range(4)],
-            axis=1)
+        # Both the sharded step and the one-shot path emit the canonical
+        # stream from output 0; compare the common prefix lane-for-lane.
+        xfull = np.tile(np.asarray(x), (1, 4))
+        ref = np.asarray(oneshot(plan, xfull, dtype=np.float32))
         got = np.concatenate(outs, axis=1)
-        np.testing.assert_allclose(got, ref, atol=1e-5)
+        m = min(ref.shape[1], got.shape[1])
+        np.testing.assert_allclose(got[:, :m], ref[:, :m], atol=1e-5)
 
 
 class TestGraftEntry:
