@@ -36,26 +36,28 @@ def _ceil_div(a: int, b: int) -> int:
 # per-topology configuration is static, so the XLA cache is shared across
 # EngineCore instances with the same plan/shapes.
 
-@partial(jax.jit, static_argnames=('cubic_step', 'cap'))
+@partial(jax.jit, static_argnames=('cubic_step', 'cap'),
+         donate_argnames=('state',))
 def _step_cubic(state, x, cubic_step, cap):
     st, y, valid, n = stages.cubic_process(state, x, cubic_step, cap)
     return st, y, n
 
 
-@partial(jax.jit, static_argnames=('factor',))
+@partial(jax.jit, static_argnames=('factor',), donate_argnames=('state',))
 def _step_dft_up(coeffs, state, x, factor):
     st, u = stages.prestage_process(coeffs, state, x, factor)
     return st, u, I32(u.shape[1])
 
 
-@partial(jax.jit, static_argnames=('factor',))
+@partial(jax.jit, static_argnames=('factor',), donate_argnames=('state',))
 def _step_decim(coeffs, state, x, factor):
     st, y, valid, n = stages.decim_process(coeffs, state, x, factor)
     return st, y, n
 
 
 @partial(jax.jit, static_argnames=('factor', 'num_phases', 'taps', 'step_hi',
-                                   'step_lo', 'cap'))
+                                   'step_lo', 'cap'),
+         donate_argnames=('state',))
 def _step_two_stage(pre_coeffs, banks, state, x, factor, num_phases, taps,
                     step_hi, step_lo, cap):
     pre_state, poly_state = state
@@ -65,7 +67,8 @@ def _step_two_stage(pre_coeffs, banks, state, x, factor, num_phases, taps,
     return (pre_state, poly_state), y, n
 
 
-@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'))
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'),
+         donate_argnames=('carry',))
 def _step_rational_fused(r_t, carry, x, ipx, wx, p2):
     """Fused streaming step for exact-rational two-stage plans.
 
