@@ -153,7 +153,6 @@ class EngineCore:
                 self.hist_size = self.poly_keep + m + p.lengths.core_delta()
         if p.kind == 'decimate':
             self.decim_coeffs = jnp.asarray(p.decim_coeffs, dtype=self.dtype)
-            self.decim_cap = _ceil_div(self.block, p.factor) + 1
         if p.kind == 'cubic':
             self.cubic_cap = _ceil_div(self.block << 32, p.cubic_step) + 1
 
