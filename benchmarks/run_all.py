@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def median_time(fn, iters=5):
+def median_time(fn, iters=9):
     import jax
     jax.block_until_ready(fn())
     ts = []
@@ -33,12 +33,22 @@ def median_time(fn, iters=5):
 
 
 def slope_msps(make_fn, s_small, s_large, n):
-    """Marginal Msamples/s between two batch sizes."""
+    """Marginal Msamples/s between two batch sizes.
+
+    The size contrast must be large enough that the time delta clearly
+    exceeds the tunnel's per-call jitter (~1-3 ms); otherwise the result
+    is reported as a lower bound from the large size alone.
+    """
     f_small = make_fn(s_small)
     f_large = make_fn(s_large)
     t_small = median_time(f_small)
     t_large = median_time(f_large)
-    return (s_large - s_small) * n / max(t_large - t_small, 1e-9) / 1e6
+    dt = t_large - t_small
+    print(f"    [t({s_small})={t_small*1e3:.1f}ms t({s_large})="
+          f"{t_large*1e3:.1f}ms]", flush=True)
+    if dt < 0.005:  # delta below jitter floor: quote throughput at large size
+        return s_large * n / t_large / 1e6
+    return (s_large - s_small) * n / dt / 1e6
 
 
 def main() -> None:
@@ -68,26 +78,26 @@ def main() -> None:
 
     # 1. one-shot mono 44.1k->48k High
     results["oneshot_mono_44k_48k_high"] = oneshot_bench(
-        44100, 48000, Quality.HIGH, 44100, 256, 1024)
+        44100, 48000, Quality.HIGH, 44100, 128, 2048)
 
     # 2. "stereo streaming" 48k->44.1k: 2-lane batches
     results["stereo_48k_44k_high_f32"] = oneshot_bench(
-        48000, 44100, Quality.HIGH, 48000, 256, 1024)
+        48000, 44100, Quality.HIGH, 48000, 128, 2048)
 
     # 3. preset sweep at 44.1k->48k
     for q, name in [(Quality.QUICK, "quick"), (Quality.LOW, "low"),
                     (Quality.MEDIUM, "medium"), (Quality.HIGH, "high"),
                     (Quality.VERY_HIGH, "veryhigh")]:
         results[f"sweep_{name}"] = oneshot_bench(
-            44100, 48000, q, 44100, 128, 512)
+            44100, 48000, q, 44100, 128, 1024)
 
     # 4. 8-channel surround 96k->48k (integer decimation path)
     results["surround_8ch_96k_48k"] = oneshot_bench(
-        96000, 48000, Quality.HIGH, 96000, 64, 256)
+        96000, 48000, Quality.HIGH, 96000, 64, 1024)
 
     # 5. ML ingest: 256 concurrent mono streams 48k->16k
     results["ml_ingest_256x_48k_16k"] = oneshot_bench(
-        48000, 16000, Quality.HIGH, 48000, 256, 512)
+        48000, 16000, Quality.HIGH, 48000, 256, 2048)
 
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")
