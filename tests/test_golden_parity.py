@@ -1,0 +1,73 @@
+"""Broader golden-data parity: THD and ripple across all captured configs.
+
+Compares the float64 path's measurements against every libsoxr capture in
+tests/testdata/soxr_reference_data.json (the reference's comparison tier,
+antialiasing_test.go:467 / soxr JSON consumers).  Tolerances reflect that
+the reference Go implementation itself deviates from libsoxr by a few dB
+on some configs (README.md:304-308).
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from go_audio_resampler_tpu.engine import plan_engine, oneshot
+from go_audio_resampler_tpu.filterdesign import Quality
+from go_audio_resampler_tpu.utils import metrics, signals
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "testdata" / "soxr_reference_data.json")
+    .read_text())["quality"]
+
+N = 65536
+FFT = 16384
+
+
+def resample(x, inr, outr, q=Quality.VERY_HIGH):
+    plan = plan_engine(inr, outr, q)
+    return np.asarray(oneshot(plan, np.asarray(x)[None], dtype=np.float64))[0]
+
+
+class TestTHDGoldenParity:
+    # (key, in, out, tolerance dB above golden). 48k->96k and 96k->48k use
+    # different architectures than libsoxr's (single DFT stage), where the
+    # Go reference also lands far from the capture for 48k->96k
+    # (soxr -142.8; single-stage filtered paths measure differently).
+    CASES = [
+        ("thd_44100_48000_1000", 44100, 48000, 1000.0, 1.0),
+        ("thd_48000_44100_1000", 48000, 44100, 1000.0, 1.0),
+        ("thd_96000_48000_1000", 96000, 48000, 1000.0, 10.0),
+        ("thd_48000_32000_1000", 48000, 32000, 1000.0, 10.0),
+        ("thd_44100_48000_10000", 44100, 48000, 10000.0, 10.0),
+        ("thd_48000_44100_10000", 48000, 44100, 10000.0, 10.0),
+    ]
+
+    @pytest.mark.parametrize("key,inr,outr,freq,tol", CASES)
+    def test_thd(self, key, inr, outr, freq, tol):
+        x = signals.sine(N, freq, inr)
+        y = resample(x, inr, outr)
+        val = metrics.thd(y, outr, freq, FFT)
+        golden = GOLDEN[key]["thd_db"]
+        assert val <= golden + tol, f"{key}: {val:.2f} vs soxr {golden:.2f}"
+
+
+class TestRippleGoldenParity:
+    CASES = [
+        ("ripple_44100_48000", 44100, 48000),
+        ("ripple_48000_44100", 48000, 44100),
+        ("ripple_48000_96000", 48000, 96000),
+        ("ripple_96000_48000", 96000, 48000),
+        ("ripple_48000_32000", 48000, 32000),
+    ]
+
+    @pytest.mark.parametrize("key,inr,outr", CASES)
+    def test_ripple(self, key, inr, outr):
+        x, freqs = signals.passband_tones(N, inr, outr)
+        y = resample(x, inr, outr)
+        r = metrics.passband_ripple(y, outr, freqs, FFT)
+        golden = GOLDEN[key]["ripple"]
+        # within 1 dB of the libsoxr capture (the captures sit ~1.3 dB p-p)
+        assert abs(r.ripple_peak_peak - golden) <= 1.0, \
+            f"{key}: {r.ripple_peak_peak:.3f} vs soxr {golden:.3f}"
