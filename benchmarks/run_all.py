@@ -78,11 +78,11 @@ def main() -> None:
 
     # 1. one-shot mono 44.1k->48k High
     results["oneshot_mono_44k_48k_high"] = oneshot_bench(
-        44100, 48000, Quality.HIGH, 44100, 128, 2048)
+        44100, 48000, Quality.HIGH, 44100, 128, 1024)
 
     # 2. "stereo streaming" 48k->44.1k: 2-lane batches
     results["stereo_48k_44k_high_f32"] = oneshot_bench(
-        48000, 44100, Quality.HIGH, 48000, 128, 2048)
+        48000, 44100, Quality.HIGH, 48000, 128, 1024)
 
     # 3. preset sweep at 44.1k->48k
     for q, name in [(Quality.QUICK, "quick"), (Quality.LOW, "low"),
@@ -97,7 +97,7 @@ def main() -> None:
 
     # 5. ML ingest: 256 concurrent mono streams 48k->16k
     results["ml_ingest_256x_48k_16k"] = oneshot_bench(
-        48000, 16000, Quality.HIGH, 48000, 256, 2048)
+        48000, 16000, Quality.HIGH, 48000, 128, 1024)
 
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")
