@@ -251,6 +251,8 @@ class Resampler:
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False
+        self._out_queue = np.zeros((self.config.channels, 0),
+                                   dtype=self.dtype)
 
     # -- core single/multi channel processing ------------------------------
 
@@ -265,6 +267,14 @@ class Resampler:
         if self._flushed:
             raise ResamplerError("resampler already flushed; call reset()")
 
+    def _process_raw(self, x: np.ndarray) -> np.ndarray:
+        self._check_not_flushed()
+        if x.ndim != 1:
+            raise InvalidConfigError("process expects a 1-D mono array")
+        self.samples_in += len(x)
+        frames = np.broadcast_to(x, (self.config.channels, len(x)))
+        return self._chain(np.ascontiguousarray(frames))
+
     def process(self, x) -> np.ndarray:
         """Resample a mono channel (resample.go:14-22).
 
@@ -274,13 +284,8 @@ class Resampler:
         all lanes together — do not interleave ``process`` and
         ``process_multi`` with different per-channel content).
         """
-        self._check_not_flushed()
         x = np.asarray(x, dtype=self.dtype)
-        if x.ndim != 1:
-            raise InvalidConfigError("process expects a 1-D mono array")
-        self.samples_in += len(x)
-        frames = np.broadcast_to(x, (self.config.channels, len(x)))
-        out = self._chain(np.ascontiguousarray(frames))
+        out = self._take(self._process_raw(x), None)
         self.samples_out += out.shape[1]
         return out[0]
 
@@ -303,8 +308,9 @@ class Resampler:
                 "all channels must have equal length per call "
                 "(batched channel processing)")
         self.samples_in += n
-        out = self._chain(np.stack(arrs)) if n else \
+        fresh = self._chain(np.stack(arrs)) if n else \
             np.zeros((self.config.channels, 0), dtype=self.dtype)
+        out = self._take(fresh, None)
         self.samples_out += out.shape[1]
         return [out[i] for i in range(out.shape[0])]
 
@@ -315,15 +321,30 @@ class Resampler:
         (constant.go:117-119)."""
         return int(n_in * self.ratio) + ESTIMATE_OUTPUT_MARGIN
 
+    def _take(self, fresh: np.ndarray, limit: int | None) -> np.ndarray:
+        """Prepend queued output; hold back anything beyond ``limit``.
+
+        Keeps the estimate_output contract for process_into even though the
+        engine drains whole device blocks (see convenience._SimpleBase)."""
+        avail = np.concatenate([self._out_queue, fresh], axis=1)
+        if limit is None or avail.shape[1] <= limit:
+            self._out_queue = np.zeros((avail.shape[0], 0), dtype=self.dtype)
+            return avail
+        self._out_queue = avail[:, limit:]
+        return avail[:, :limit]
+
     def process_into(self, x, out: np.ndarray) -> int:
         """Resample into a caller buffer; BufferTooSmallError *before* any
-        state advances (constant.go:103-126)."""
+        state advances (constant.go:103-126).  A buffer of
+        estimate_output(len(x)) samples is always sufficient; excess device
+        output is queued for the next call."""
         x = np.asarray(x, dtype=self.dtype)
         required = self.estimate_output(len(x))
         if out.shape[-1] < required:
             raise BufferTooSmallError(
                 f"output buffer {out.shape[-1]} < required {required}")
-        y = self.process(x)
+        y = self._take(self._process_raw(x), int(out.shape[-1]))[0]
+        self.samples_out += len(y)
         out[..., :len(y)] = y
         return len(y)
 
@@ -333,7 +354,9 @@ class Resampler:
         if out.shape[-1] < required:
             raise BufferTooSmallError(
                 f"output buffer {out.shape[-1]} < required {required}")
-        y = self.process(x).astype(np.float32)
+        y = self._take(self._process_raw(x.astype(self.dtype)),
+                       int(out.shape[-1]))[0].astype(np.float32)
+        self.samples_out += len(y)
         out[..., :len(y)] = y
         return len(y)
 
@@ -351,8 +374,8 @@ class Resampler:
                 tail = self._engines[j].process(tail)
             outs.append(tail)
         if not outs:
-            return np.zeros((self.config.channels, 0), dtype=self.dtype)
-        return np.concatenate(outs, axis=1)
+            outs = [np.zeros((self.config.channels, 0), dtype=self.dtype)]
+        return self._take(np.concatenate(outs, axis=1), None)
 
     def flush(self) -> np.ndarray:
         """Drain remaining samples for the mono path (resample.go:28-32)."""
@@ -373,6 +396,8 @@ class Resampler:
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False
+        self._out_queue = np.zeros((self.config.channels, 0),
+                                   dtype=self.dtype)
 
     # -- introspection ------------------------------------------------------
 

@@ -99,20 +99,39 @@ class _SimpleBase:
                                 engine_quality)
         self.engine = EngineCore(self.plan, batch=batch, block=block,
                                  dtype=self._dtype)
+        self._out_queue = np.zeros(0, dtype=self._dtype)
+
+    def _take(self, fresh: np.ndarray, limit: int | None) -> np.ndarray:
+        """Prepend queued output; hold back anything beyond ``limit``.
+
+        The engine drains whole device blocks, so a small call can release
+        more output than estimate_output(len(x)); queuing the excess keeps
+        the reference's contract that a buffer of estimate_output(n)
+        samples is always enough (convenience.go:139-166)."""
+        avail = np.concatenate([self._out_queue, fresh])
+        if limit is None or len(avail) <= limit:
+            self._out_queue = np.zeros(0, dtype=self._dtype)
+            return avail
+        self._out_queue = avail[limit:]
+        return avail[:limit]
 
     def process(self, x) -> np.ndarray:
         x = np.asarray(x, dtype=self._dtype)
-        return self.engine.process(x[None, :] if x.ndim == 1 else x)[0]
+        y = self.engine.process(x[None, :] if x.ndim == 1 else x)[0]
+        return self._take(y, None)
 
     def process_into(self, x, out: np.ndarray) -> int:
-        """Zero-extra-copy variant; BufferTooSmallError before any state
-        advance (convenience.go:139-160)."""
+        """Resample into a caller buffer; BufferTooSmallError before any
+        state advance (convenience.go:139-160).  A buffer of
+        estimate_output(len(x)) samples is always sufficient; any output
+        the device releases beyond it is queued for the next call."""
         x = np.asarray(x, dtype=self._dtype)
         required = self.estimate_output(len(x))
         if out.shape[-1] < required:
             raise BufferTooSmallError(
                 f"output buffer {out.shape[-1]} < required {required}")
-        y = self.process(x)
+        y = self._take(self.engine.process(x[None, :])[0],
+                       int(out.shape[-1]))
         out[..., :len(y)] = y
         return len(y)
 
@@ -121,10 +140,11 @@ class _SimpleBase:
         return int(n_in * self.plan.ratio) + ESTIMATE_OUTPUT_MARGIN
 
     def flush(self) -> np.ndarray:
-        return self.engine.flush()[0]
+        return self._take(self.engine.flush()[0], None)
 
     def reset(self) -> None:
         self.engine.reset()
+        self._out_queue = np.zeros(0, dtype=self._dtype)
 
     def get_ratio(self) -> float:
         return self.plan.ratio
