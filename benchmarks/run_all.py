@@ -93,7 +93,7 @@ def main() -> None:
 
     # 4. 8-channel surround 96k->48k (integer decimation path)
     results["surround_8ch_96k_48k"] = oneshot_bench(
-        96000, 48000, Quality.HIGH, 96000, 64, 1024)
+        96000, 48000, Quality.HIGH, 96000, 64, 512)
 
     # 5. ML ingest: 256 concurrent mono streams 48k->16k
     results["ml_ingest_256x_48k_16k"] = oneshot_bench(
