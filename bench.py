@@ -21,19 +21,25 @@ import time
 import numpy as np
 
 
-def _median_time(fn, warmups: int = 1, iters: int = 7) -> float:
+def _min_time(fn, warmups: int = 2, iters: int = 15) -> float:
+    """Minimum synchronized wall time.
+
+    The axon tunnel adds a ~25-30 ms round trip with heavy-tailed jitter;
+    the minimum estimates the stable floor (RTT + device time) far better
+    than the median, so differencing two minimums isolates device time.
+    On axon, block_until_ready does not synchronize with device
+    completion; a scalar device_get does.
+    """
     import jax
     for _ in range(warmups):
         jax.block_until_ready(fn())
+        float(fn())
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        r = fn()
-        # On the axon platform block_until_ready does not synchronize with
-        # device completion; a scalar device_get does.
-        float(r)
+        float(fn())
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.min(times))
 
 
 def main() -> None:
@@ -58,8 +64,8 @@ def main() -> None:
     xs = jnp.asarray(rng.normal(size=(s_small, n)).astype(np.float32) * 0.5)
     xl = jnp.asarray(rng.normal(size=(s_large, n)).astype(np.float32) * 0.5)
 
-    t_small = _median_time(lambda: run_sum(xs))
-    t_large = _median_time(lambda: run_sum(xl))
+    t_small = _min_time(lambda: run_sum(xs))
+    t_large = _min_time(lambda: run_sum(xl))
 
     d_samples = (s_large - s_small) * n
     d_t = max(t_large - t_small, 1e-9)

@@ -21,15 +21,18 @@ import time
 import numpy as np
 
 
-def median_time(fn, iters=9):
+def min_time(fn, iters=15):
+    """Minimum synchronized wall time (robust to the tunnel's heavy-tailed
+    latency jitter; see bench.py)."""
     import jax
     jax.block_until_ready(fn())
+    float(fn())
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         float(fn())
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(np.min(ts))
 
 
 def slope_msps(make_fn, s_small, s_large, n):
@@ -41,12 +44,12 @@ def slope_msps(make_fn, s_small, s_large, n):
     """
     f_small = make_fn(s_small)
     f_large = make_fn(s_large)
-    t_small = median_time(f_small)
-    t_large = median_time(f_large)
+    t_small = min_time(f_small)
+    t_large = min_time(f_large)
     dt = t_large - t_small
     print(f"    [t({s_small})={t_small*1e3:.1f}ms t({s_large})="
           f"{t_large*1e3:.1f}ms]", flush=True)
-    if dt < 0.005:  # delta below jitter floor: quote throughput at large size
+    if dt < 0.002:  # delta below jitter floor: quote throughput at large size
         return s_large * n / t_large / 1e6
     return (s_large - s_small) * n / dt / 1e6
 

@@ -93,6 +93,52 @@ def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
     return y[:, :count]
 
 
+_DECIM_CACHE: dict = {}
+DECIM_PERIOD = 256  # outputs per frame for the decimation frames-matmul
+
+
+def _decim_matrix(plan: EnginePlan):
+    """Banded per-period matrix for integer decimation.
+
+    Output j reads x~[j*M : j*M + T]; grouping P outputs per frame gives
+    frames of width W = (P-1)*M + T with stride P*M and a constant
+    [P, W] matrix R[r, r*M : r*M + T] = coeffs — one MXU matmul per frame
+    instead of a long strided convolution (which XLA:TPU lowers poorly:
+    the 751-tap stride-2 conv ran at ~0.1 Gsample/s; this path is
+    bandwidth-bound like the rational fused path).
+    """
+    key = id(plan)
+    if key in _DECIM_CACHE:
+        return _DECIM_CACHE[key]
+    m, t = plan.factor, plan.decim_taps
+    p = DECIM_PERIOD
+    w = (p - 1) * m + t
+    r = np.zeros((p, w), dtype=np.float64)
+    for row in range(p):
+        r[row, row * m:row * m + t] = plan.decim_coeffs
+    _DECIM_CACHE[key] = (r, p, p * m)
+    return _DECIM_CACHE[key]
+
+
+def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
+                        dtype) -> jax.Array:
+    """Apply integer decimation via frames + one matmul."""
+    R, P, Ipx = _decim_matrix(plan)
+    wx = R.shape[1]
+    n_frames = -(-count // P)
+    need = (n_frames - 1) * Ipx + wx
+    if xs.shape[1] < need:
+        xs = jnp.pad(xs, ((0, 0), (0, need - xs.shape[1])))
+    starts = jnp.asarray(np.arange(n_frames, dtype=np.int64) * Ipx,
+                         dtype=jnp.int32)
+    frames = gather_windows(xs, starts, wx)
+    Rt = jnp.asarray(R.T, dtype=dtype)
+    y = jnp.einsum('sfw,wp->sfp', frames, Rt,
+                   preferred_element_type=xs.dtype,
+                   precision=lax.Precision.HIGHEST)
+    return y.reshape(xs.shape[0], n_frames * P)[:, :count]
+
+
 _FUSED_CACHE: dict = {}
 
 
@@ -272,9 +318,7 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str) -> jax.Array:
         need = (t - 1) + (canonical - 1) * m + t
         pad_right = max(z, need - (t - 1 + n))
         xext = jnp.pad(x, ((0, 0), (t - 1, pad_right)))
-        coeffs = jnp.asarray(plan.decim_coeffs, dtype=dtype)
-        out = conv1d_poly(xext[:, t - 1:], coeffs[None, :], stride=m)[:, 0, :]
-        return out[:, :canonical]
+        return _decim_apply_matmul(plan, xext[:, t - 1:], canonical, dtype)
 
     # two_stage
     t1, f = plan.pre_taps, plan.factor

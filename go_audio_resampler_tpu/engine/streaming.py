@@ -55,6 +55,29 @@ def _step_decim(coeffs, state, x, factor):
     return st, y, n
 
 
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'),
+         donate_argnames=('carry',))
+def _step_decim_fused(r_t, carry, x, ipx, wx, p2):
+    """Fused streaming decimation: banded frames-matmul per block.
+
+    carry holds the last T-1 input samples (zeros-init); with the block a
+    multiple of Ipx = P*M, every step emits exactly (B/Ipx)*P outputs on
+    the canonical grid (window j = (0^{T-1} ++ stream)[j*M : j*M+T]), so
+    no transient drop is needed.  Replaces the strided convolution, which
+    XLA:TPU lowers poorly for long audio kernels.
+    """
+    b = x.shape[1]
+    n_frames = b // ipx
+    data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+    starts = lax.iota(jnp.int32, n_frames) * I32(ipx)
+    frames = stages.gather_windows(data, starts, wx)
+    y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(x.dtype),
+                   preferred_element_type=x.dtype,
+                   precision=lax.Precision.HIGHEST)
+    y = y.reshape(x.shape[0], n_frames * p2)
+    return data[:, b:], y, I32(n_frames * p2)
+
+
 @partial(jax.jit, static_argnames=('factor', 'num_phases', 'taps', 'step_hi',
                                    'step_lo', 'cap'),
          donate_argnames=('state',))
@@ -152,7 +175,19 @@ class EngineCore:
                 self.poly_keep = p.poly_taps + step_in + 2
                 self.hist_size = self.poly_keep + m + p.lengths.core_delta()
         if p.kind == 'decimate':
-            self.decim_coeffs = jnp.asarray(p.decim_coeffs, dtype=self.dtype)
+            from .oneshot import _decim_matrix
+            r, p2, ipx = _decim_matrix(p)
+            self._decim_rt = jnp.asarray(r.T, dtype=self.dtype)
+            self._decim_p2 = p2
+            self._decim_ipx = ipx
+            self._decim_wx = r.shape[1]
+            self.block = _ceil_div(self.block, ipx) * ipx
+            # Canonical window j reads x[j*M : j*M+T] (no zero samples);
+            # a zero carry of C = round_up(T-1, M) shifts the local grid by
+            # C/M ramp outputs which the wrapper drops.
+            self._decim_carry = _ceil_div(p.decim_taps - 1, p.factor) \
+                * p.factor
+            self._drop_override = self._decim_carry // p.factor
         if p.kind == 'cubic':
             self.cubic_cap = _ceil_div(self.block << 32, p.cubic_step) + 1
 
@@ -165,8 +200,7 @@ class EngineCore:
             return PrestageState(
                 carry=jnp.zeros((s, max(p.pre_taps - 1, 0)), d))
         if p.kind == 'decimate':
-            return DecimState(carry=jnp.zeros((s, p.decim_taps - 1), d),
-                              next_rel=I32(p.decim_taps - 1))
+            return jnp.zeros((s, self._decim_carry), d)
         # two_stage
         if self.rational_fused:
             return jnp.zeros((s, self._rational_carry), d)
@@ -187,8 +221,9 @@ class EngineCore:
             return lambda state, x: _step_dft_up(
                 self.pre_coeffs, state, x, factor=p.factor)
         if p.kind == 'decimate':
-            return lambda state, x: _step_decim(
-                self.decim_coeffs, state, x, factor=p.factor)
+            return lambda state, x: _step_decim_fused(
+                self._decim_rt, state, x, ipx=self._decim_ipx,
+                wx=self._decim_wx, p2=self._decim_p2)
         if self.rational_fused:
             return lambda state, x: _step_rational_fused(
                 self._rational_rt, state, x, ipx=self._rational_ipx,
