@@ -58,18 +58,61 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
                         block: int, dtype=jnp.float32):
     """Build a sharded streaming step for the two-stage engine.
 
-    Returns (init_state_fn, step_fn) where step_fn is jitted under
+    Returns (init_state_fn, step_fn, block) — ``block`` is the effective
+    per-step input length (rounded up to the fused path's period) — where
+    step_fn is jitted under
     ``shard_map`` over the mesh: per-device stream state stays resident in
     device memory, inputs arrive sharded [S_total, block], and a global
     peak statistic is reduced with ``pmax`` across the mesh to exercise a
     collective (the only cross-chip traffic; per-sample data never crosses
     ICI).
+
+    Exact-rational plans use the fused periodic-matmul step
+    (engine/streaming._step_rational_fused): state is just the input carry
+    and every step emits a constant sample count; other plans fall back to
+    the poly-walk step.  Note the fused step's stream includes the leading
+    convolution-ramp outputs ((C/Ipx)*P2 samples) which a consumer trims,
+    exactly like EngineCore's drop logic.
     """
     if plan.kind != 'two_stage':
         raise ValueError("sharded_stream_step currently builds the flagship "
                          "two_stage topology")
     n_dev = mesh.devices.size
     s_total = batch_per_device * n_dev
+    sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
+
+    if plan.is_rational_exact:
+        from ..engine.oneshot import _fused_rational_matrix
+        r, p2, ipx = _fused_rational_matrix(plan)
+        wx = r.shape[1]
+        block = -(-block // ipx) * ipx
+        carry_len = -(-max(wx - ipx, 0) // ipx) * ipx
+        rt = jnp.asarray(r.T, dtype=dtype)
+
+        def init_state():
+            return jax.device_put(
+                jnp.zeros((s_total, carry_len), jnp.dtype(dtype)), sharding)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(STREAM_AXIS, None), P(STREAM_AXIS, None)),
+                 out_specs=(P(STREAM_AXIS, None), P(STREAM_AXIS, None),
+                            P(), P()),
+                 check_vma=False)
+        def _step(carry, x):
+            n_frames = x.shape[1] // ipx
+            data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+            starts = jax.lax.iota(jnp.int32, n_frames) * jnp.int32(ipx)
+            frames = stages.gather_windows(data, starts, wx)
+            y = jnp.einsum('sfw,wp->sfp', frames, rt.astype(x.dtype),
+                           preferred_element_type=x.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            y = y.reshape(x.shape[0], n_frames * p2)
+            peak = jax.lax.pmax(jnp.max(jnp.abs(y)), STREAM_AXIS)
+            return data[:, x.shape[1]:], y, jnp.int32(n_frames * p2), peak
+
+        return init_state, jax.jit(_step), block
+
+    # General (non-exact-rational) plans: poly-walk step.
     m = block * plan.factor
     cap = -(-m * plan.num_phases * 65536 // plan.step) + 1
     step_in = -(-plan.step // (plan.num_phases * 65536))
@@ -82,21 +125,16 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
 
     def init_state():
         d = jnp.dtype(dtype)
-        pre = stages.PrestageState(
-            carry=jnp.zeros((s_total, plan.pre_taps - 1), d))
-        poly = stages.PolyState(
-            hist=jnp.zeros((s_total, hist_size), d),
-            hist_len=jnp.zeros((), jnp.int32),
-            at_hi=jnp.full((), plan.at0 >> 16, jnp.int32),
-            at_lo=jnp.full((), plan.at0 & 0xFFFF, jnp.int32))
-        sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
         rep = NamedSharding(mesh, P())
-        pre = stages.PrestageState(carry=jax.device_put(pre.carry, sharding))
+        pre = stages.PrestageState(carry=jax.device_put(
+            jnp.zeros((s_total, plan.pre_taps - 1), d), sharding))
         poly = stages.PolyState(
-            hist=jax.device_put(poly.hist, sharding),
-            hist_len=jax.device_put(poly.hist_len, rep),
-            at_hi=jax.device_put(poly.at_hi, rep),
-            at_lo=jax.device_put(poly.at_lo, rep))
+            hist=jax.device_put(jnp.zeros((s_total, hist_size), d), sharding),
+            hist_len=jax.device_put(jnp.zeros((), jnp.int32), rep),
+            at_hi=jax.device_put(
+                jnp.full((), plan.at0 >> 16, jnp.int32), rep),
+            at_lo=jax.device_put(
+                jnp.full((), plan.at0 & 0xFFFF, jnp.int32), rep))
         return pre, poly
 
     @partial(shard_map, mesh=mesh,
@@ -130,7 +168,7 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
         new_pre, poly_tuple = new_packed
         return (new_pre, stages.PolyState(*poly_tuple)), y, n, peak
 
-    return init_state, step_fn
+    return init_state, step_fn, block
 
 
 def global_stream_stats(x, mesh: Mesh):
