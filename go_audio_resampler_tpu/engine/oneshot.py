@@ -218,13 +218,14 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     n_frames = -(-count // P2)
 
     tf = pf.frame_tile_for(P2)
-    # The Pallas kernel is correct on TPU but currently slower than the
-    # XLA fused matmul (8.5 vs 32.6 Gsamples/s: its small grid steps and
-    # host-side relayout dominate); opt in via GAR_TPU_USE_PALLAS=1 while
-    # the tiling is being improved.
-    use_pallas = (os.environ.get('GAR_TPU_USE_PALLAS') == '1'
+    # The Pallas kernel (VMEM frame assembly, STREAM_TILE=64) reaches
+    # ~20 Gsamples/s vs ~7-11 for the XLA fused matmul; it pads the batch
+    # to STREAM_TILE, so use it only when the batch is large enough that
+    # the padding waste is negligible.  GAR_TPU_USE_PALLAS=0 disables.
+    use_pallas = (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
                   and jax.default_backend() == 'tpu'
                   and jnp.dtype(dtype) == jnp.float32
+                  and x.shape[0] >= pf.STREAM_TILE
                   and wx - Ipx < tf * Ipx)
     if use_pallas:
         n_tiles = -(-count // (tf * P2))

@@ -36,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-STREAM_TILE = 8          # sublane-aligned stream tile
+STREAM_TILE = 64         # stream tile (rows per MXU call = TILE * TF; 128 exceeds the 16MB VMEM scoped limit)
 
 
 def _round_up(x: int, m: int) -> int:

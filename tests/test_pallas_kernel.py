@@ -31,10 +31,13 @@ class TestFusedKernelInterpret:
         tf = pf.frame_tile_for(P2)
         n_tiles = 3
         n = n_tiles * tf * Ipx + (wx - Ipx)
-        x = np.random.default_rng(0).normal(size=(8, n)).astype(np.float32)
+        x = np.random.default_rng(0).normal(
+            size=(pf.STREAM_TILE, n)).astype(np.float32)
         y = np.asarray(pf.fused_resample_pallas(
             jnp.asarray(x), jnp.asarray(R.T, dtype=jnp.float32),
             ipx=Ipx, wx=wx, p2=P2, interpret=True))
+        x = x[:4]
+        y = y[:4]
         y_ref = reference(x, R, Ipx, n_tiles * tf)
         assert y.shape == y_ref.shape
         np.testing.assert_allclose(y, y_ref, atol=5e-6)
@@ -50,7 +53,7 @@ class TestFusedKernelInterpret:
         plan = plan_engine(44100, 48000, Quality.HIGH)
         R, P2, Ipx = _fused_rational_matrix(plan)
         wx = R.shape[1]
-        x = np.zeros((5, 4000), np.float32)  # 5 % 8 != 0
+        x = np.zeros((5, 4000), np.float32)  # 5 % STREAM_TILE != 0
         with pytest.raises(AssertionError):
             pf.fused_resample_pallas(jnp.asarray(x),
                                      jnp.asarray(R.T, dtype=jnp.float32),
