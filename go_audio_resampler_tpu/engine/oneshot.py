@@ -218,11 +218,13 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     n_frames = -(-count // P2)
 
     tf = pf.frame_tile_for(P2)
-    # The Pallas kernel (VMEM frame assembly, STREAM_TILE=64) reaches
-    # ~20 Gsamples/s vs ~7-11 for the XLA fused matmul; it pads the batch
-    # to STREAM_TILE, so use it only when the batch is large enough that
-    # the padding waste is negligible.  GAR_TPU_USE_PALLAS=0 disables.
-    use_pallas = (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
+    # The Pallas kernel's raw matmul loop beats XLA (its VMEM frame
+    # assembly avoids the HBM im2col), but its host-side input relayout
+    # (tile transpose + tail sideband) costs two extra passes over x, and
+    # paired A/B shows the XLA fused path ahead end-to-end (7.2-9.1 vs
+    # 5.6-7.2 Gs/s).  Keep XLA default; GAR_TPU_USE_PALLAS=1 opts in
+    # (useful when the caller can pre-tile inputs; see ROADMAP).
+    use_pallas = (os.environ.get('GAR_TPU_USE_PALLAS') == '1'
                   and jax.default_backend() == 'tpu'
                   and jnp.dtype(dtype) == jnp.float32
                   and x.shape[0] >= pf.STREAM_TILE
