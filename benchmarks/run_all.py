@@ -1,4 +1,8 @@
-"""Full benchmark matrix: the five BASELINE.json configurations.
+"""Full benchmark matrix: the five BASELINE.json configurations plus the
+streaming serving path.
+
+Usage: python benchmarks/run_all.py [config-substring ...] — with args,
+only matching configs run and results merge into results.json.
 
 Writes benchmarks/results.json and prints one line per config.  Uses the
 slope method (marginal samples / marginal time between two batch sizes) to
@@ -55,11 +59,18 @@ def slope_msps(make_fn, s_small, s_large, n):
 
 
 def main() -> None:
+    import sys
+
     import jax
     import jax.numpy as jnp
     from go_audio_resampler_tpu.engine import plan_engine
     from go_audio_resampler_tpu.engine.oneshot import _oneshot_jit
     from go_audio_resampler_tpu.filterdesign import Quality
+
+    only = sys.argv[1:]
+
+    def wanted(name):
+        return not only or any(o in name for o in only)
 
     on_tpu = jax.default_backend() != 'cpu'
     scale = 1 if on_tpu else 32  # shrink batches for CPU smoke runs
@@ -80,35 +91,77 @@ def main() -> None:
                           max(s_large // scale, 2), n)
 
     # 1. one-shot mono 44.1k->48k High
-    results["oneshot_mono_44k_48k_high"] = oneshot_bench(
-        44100, 48000, Quality.HIGH, 44100, 128, 1024)
+    if wanted("oneshot_mono_44k_48k_high"):
+        results["oneshot_mono_44k_48k_high"] = oneshot_bench(
+            44100, 48000, Quality.HIGH, 44100, 128, 1024)
 
     # 2. "stereo streaming" 48k->44.1k: 2-lane batches
-    results["stereo_48k_44k_high_f32"] = oneshot_bench(
-        48000, 44100, Quality.HIGH, 48000, 128, 1024)
+    if wanted("stereo_48k_44k_high_f32"):
+        results["stereo_48k_44k_high_f32"] = oneshot_bench(
+            48000, 44100, Quality.HIGH, 48000, 128, 1024)
 
     # 3. preset sweep at 44.1k->48k
     for q, name in [(Quality.QUICK, "quick"), (Quality.LOW, "low"),
                     (Quality.MEDIUM, "medium"), (Quality.HIGH, "high"),
                     (Quality.VERY_HIGH, "veryhigh")]:
-        results[f"sweep_{name}"] = oneshot_bench(
-            44100, 48000, q, 44100, 128, 1024)
+        if wanted(f"sweep_{name}"):
+            results[f"sweep_{name}"] = oneshot_bench(
+                44100, 48000, q, 44100, 128, 1024)
 
     # 4. 8-channel surround 96k->48k (integer decimation path)
-    results["surround_8ch_96k_48k"] = oneshot_bench(
-        96000, 48000, Quality.HIGH, 96000, 64, 512)
+    if wanted("surround_8ch_96k_48k"):
+        results["surround_8ch_96k_48k"] = oneshot_bench(
+            96000, 48000, Quality.HIGH, 96000, 64, 512)
 
     # 5. ML ingest: 256 concurrent mono streams 48k->16k
-    results["ml_ingest_256x_48k_16k"] = oneshot_bench(
-        48000, 16000, Quality.HIGH, 48000, 128, 1024)
+    if wanted("ml_ingest_256x_48k_16k"):
+        results["ml_ingest_256x_48k_16k"] = oneshot_bench(
+            48000, 16000, Quality.HIGH, 48000, 128, 1024)
+
+    # 6. streaming serving path: fused per-block step, 16 blocks chained
+    # on-device (slope between batch sizes cancels launch overhead)
+    if wanted("streaming_44k_48k_fused_step"):
+        from go_audio_resampler_tpu.engine.streaming import _step_rational_fused
+        import importlib
+        osmod = importlib.import_module(
+            'go_audio_resampler_tpu.engine.oneshot')
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        r, p2, ipx = osmod._fused_rational_matrix(plan)
+        rt = jnp.asarray(r.T, dtype=jnp.float32)
+        wx = r.shape[1]
+        blk = 16 * ipx
+        carry_len = -(-max(wx - ipx, 0) // ipx) * ipx
+        n_steps = 16
+
+        def make(s):
+            x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32))
+
+            @jax.jit
+            def f():
+                def body(carry, _):
+                    c, acc = carry
+                    c2, y, n = _step_rational_fused(rt, c, x, ipx=ipx,
+                                                    wx=wx, p2=p2)
+                    return (c2, acc + jnp.sum(y)), None
+                init = (jnp.zeros((s, carry_len), jnp.float32),
+                        jnp.float32(0))
+                (c, acc), _ = jax.lax.scan(body, init, None, length=n_steps)
+                return acc
+            return f
+        results["streaming_44k_48k_fused_step"] = slope_msps(
+            lambda s: make(s), max(128 // scale, 1),
+            max(1024 // scale, 2), blk * n_steps)
 
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")
     out = pathlib.Path(__file__).parent / "results.json"
+    merged = {}
+    if out.exists():
+        merged = json.loads(out.read_text()).get("results", {})
+    merged.update({k: round(v, 1) for k, v in results.items()})
     out.write_text(json.dumps(
         {"unit": "Msamples/s input throughput per chip",
-         "backend": jax.default_backend(), "results":
-         {k: round(v, 1) for k, v in results.items()}}, indent=2))
+         "backend": jax.default_backend(), "results": merged}, indent=2))
     print(f"wrote {out}")
 
 
