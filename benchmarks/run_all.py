@@ -131,7 +131,7 @@ def main() -> None:
         wx = r.shape[1]
         blk = 16 * ipx
         carry_len = -(-max(wx - ipx, 0) // ipx) * ipx
-        n_steps = 16
+        n_steps = 64
 
         def make(s):
             x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32))
