@@ -4,13 +4,14 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 "vs_baseline": N}.  Baseline = the BASELINE.json north star of
 1000 Msamples/sec/chip (1 Gsample/s input throughput).
 
-Methodology: the flagship one-shot program (prestage conv + rational
-frames-matmul, engine/oneshot.py) over batches of stereo streams.  The
-axon TPU tunnel adds ~30 ms of fixed host<->device round-trip latency per
-synchronized call, so throughput is measured as the *slope* between a
-small and a large batch (marginal samples / marginal time), which cancels
-the fixed launch+sync overhead and reports true device throughput.  Each
-timing is a median over several synchronized runs.
+Methodology (see benchmarks/README.md): the serving-path streaming step —
+the fused periodic matmul that converts 44.1 kHz blocks to 48 kHz
+(engine/streaming._step_rational_fused) — is chained 64 blocks deep
+on-device with lax.scan, so one synchronized launch carries ~64 ms of
+device work.  Throughput is the slope between two batch sizes
+(marginal samples / marginal time), which cancels this harness's fixed
+~25-30 ms host<->device round trip; each timing is a minimum of 15
+synchronized runs (robust to the tunnel's heavy-tailed jitter).
 """
 
 from __future__ import annotations
@@ -24,15 +25,10 @@ import numpy as np
 def _min_time(fn, warmups: int = 2, iters: int = 15) -> float:
     """Minimum synchronized wall time.
 
-    The axon tunnel adds a ~25-30 ms round trip with heavy-tailed jitter;
-    the minimum estimates the stable floor (RTT + device time) far better
-    than the median, so differencing two minimums isolates device time.
-    On axon, block_until_ready does not synchronize with device
-    completion; a scalar device_get does.
+    On the axon platform block_until_ready does not synchronize with
+    device completion; a scalar device_get does.
     """
-    import jax
     for _ in range(warmups):
-        jax.block_until_ready(fn())
         float(fn())
     times = []
     for _ in range(iters):
@@ -45,29 +41,45 @@ def _min_time(fn, warmups: int = 2, iters: int = 15) -> float:
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from jax import lax
+    import importlib
     from go_audio_resampler_tpu.engine import plan_engine
-    from go_audio_resampler_tpu.engine.oneshot import _oneshot_jit
+    from go_audio_resampler_tpu.engine.streaming import _step_rational_fused
     from go_audio_resampler_tpu.filterdesign import Quality
+
+    osm = importlib.import_module('go_audio_resampler_tpu.engine.oneshot')
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    n = 44100  # 1 s per stream; streams = stereo pairs x many
-    s_small = 256 if on_tpu else 4
-    s_large = 1024 if on_tpu else 16
     plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+    r, p2, ipx = osm._fused_rational_matrix(plan)
+    rt = jnp.asarray(r.T, dtype=jnp.float32)
+    wx = r.shape[1]
+    blk = 16 * ipx                       # 2352 input samples per block
+    carry_len = -(-max(wx - ipx, 0) // ipx) * ipx
+    n_steps = 64 if on_tpu else 4
+    s_small = 128 if on_tpu else 2
+    s_large = 1024 if on_tpu else 8
     rng = np.random.default_rng(0)
 
-    @jax.jit
-    def run_sum(x):
-        return jnp.sum(_oneshot_jit(plan, x, 'float32'))
+    def make(s):
+        x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32) * 0.5)
 
-    xs = jnp.asarray(rng.normal(size=(s_small, n)).astype(np.float32) * 0.5)
-    xl = jnp.asarray(rng.normal(size=(s_large, n)).astype(np.float32) * 0.5)
+        @jax.jit
+        def f():
+            def body(carry, _):
+                c, acc = carry
+                c2, y, n = _step_rational_fused(rt, c, x, ipx=ipx, wx=wx,
+                                                p2=p2)
+                return (c2, acc + jnp.sum(y)), None
+            init = (jnp.zeros((s, carry_len), jnp.float32), jnp.float32(0))
+            (c, acc), _ = lax.scan(body, init, None, length=n_steps)
+            return acc
+        return f
 
-    t_small = _min_time(lambda: run_sum(xs))
-    t_large = _min_time(lambda: run_sum(xl))
-
-    d_samples = (s_large - s_small) * n
+    t_small = _min_time(make(s_small))
+    t_large = _min_time(make(s_large))
+    d_samples = (s_large - s_small) * blk * n_steps
     d_t = max(t_large - t_small, 1e-9)
     msamples_per_sec = d_samples / d_t / 1e6
     baseline = 1000.0  # Msamples/sec/chip north star
