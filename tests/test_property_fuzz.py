@@ -1,0 +1,65 @@
+"""Seeded property fuzzing: random chunk patterns and rates vs the oracle.
+
+Randomized (but deterministic) sweep over ratios, qualities, chunk
+patterns and block sizes, asserting the two framework-level invariants:
+
+1. streaming(chunks) == oneshot(concat(chunks))   (chunking invariance)
+2. oneshot == serial oracle                       (semantics parity)
+
+This is the property-based analog of the reference's Go fuzz tier
+(fuzz_test.go) adapted to deterministic CI.
+"""
+
+import numpy as np
+import pytest
+
+from go_audio_resampler_tpu.engine import EngineCore, plan_engine, oneshot
+from go_audio_resampler_tpu.filterdesign import Quality
+
+from oracle import oracle_oneshot
+
+RATES = [8000, 11025, 16000, 22050, 32000, 44100, 48000, 88200, 96000]
+QUALITIES = [Quality.QUICK, Quality.LOW, Quality.MEDIUM, Quality.HIGH,
+             Quality.VERY_HIGH]
+
+
+def random_chunks(rng, total):
+    chunks = []
+    left = total
+    while left > 0:
+        c = int(rng.integers(1, min(left, 1500) + 1))
+        chunks.append(c)
+        left -= c
+    return chunks
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_config_invariants(seed):
+    rng = np.random.default_rng(1000 + seed)
+    inr, outr = rng.choice(RATES, size=2, replace=False)
+    q = QUALITIES[int(rng.integers(len(QUALITIES)))]
+    n = int(rng.integers(500, 4000))
+    block = int(rng.choice([128, 384, 512, 1024]))
+    x = rng.normal(size=n) * 0.5
+
+    plan = plan_engine(float(inr), float(outr), q)
+    ref = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+
+    # invariant 1: chunked streaming reproduces the canonical stream
+    eng = EngineCore(plan, batch=1, block=block, dtype=np.float64)
+    outs = []
+    off = 0
+    for c in random_chunks(rng, n):
+        outs.append(eng.process(x[off:off + c])[0])
+        off += c
+    outs.append(eng.flush()[0])
+    got = np.concatenate(outs)
+    assert got.shape == ref.shape, (inr, outr, q, block)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12,
+                               err_msg=f"{inr}->{outr} q={q} block={block}")
+
+    # invariant 2: canonical stream matches the serial oracle
+    expect = oracle_oneshot(plan, x)
+    assert ref.shape == expect.shape
+    np.testing.assert_allclose(ref, expect, rtol=1e-9, atol=1e-12,
+                               err_msg=f"{inr}->{outr} q={q} oracle")
