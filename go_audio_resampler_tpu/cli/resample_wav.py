@@ -35,8 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="resample-wav",
         description="High-quality WAV sample rate converter (TPU-native)")
-    p.add_argument("input", help="input WAV file")
-    p.add_argument("output", help="output WAV file")
+    p.add_argument("input", nargs="+",
+                   help="input WAV file(s); with -outdir, many files are "
+                        "resampled batched on the device's stream axis")
+    p.add_argument("output", nargs="?", default=None,
+                   help="output WAV file (single-file mode)")
+    p.add_argument("-outdir", default=None,
+                   help="batch mode: write outputs here, one per input")
     p.add_argument("-rate", type=float, default=48000,
                    help="output sample rate in Hz (default 48000)")
     p.add_argument("-quality", default="high",
@@ -56,6 +61,70 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def run_batch(args, preset) -> int:
+    """Batch mode: resample many files in one device program per group.
+
+    Files are grouped by (sample_rate, channels); each group's channels
+    ride the TPU stream axis together (files padded to the group's longest,
+    outputs trimmed per file to its canonical length) — the TPU-native
+    version of "resample a directory".
+    """
+    import pathlib
+
+    import numpy as np
+
+    from ..convenience import preset_to_engine_quality
+    from ..engine import plan_engine, oneshot
+    from ..utils.wav import WavReader, WavWriter
+
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    files = []
+    for path in args.input:
+        try:
+            r = WavReader(path)
+        except (ValueError, IOError) as e:
+            print(f"error: {path}: {e}", file=sys.stderr)
+            return 1
+        data = r.read(r.num_frames)      # [n, ch] float32
+        r.close()
+        files.append((path, r.sample_rate, r.bits, data))
+
+    groups = {}
+    for path, rate, bits, data in files:
+        groups.setdefault((rate, data.shape[1]), []).append(
+            (path, bits, data))
+
+    total_frames = 0
+    for (rate, channels), members in groups.items():
+        plan = plan_engine(float(rate), float(args.rate),
+                           preset_to_engine_quality(preset))
+        n_max = max(d.shape[0] for _, _, d in members)
+        lanes = []
+        for _, _, d in members:
+            padded = np.zeros((channels, n_max), np.float32)
+            padded[:, :d.shape[0]] = d.T
+            lanes.append(padded)
+        batch = np.concatenate(lanes, axis=0)         # [files*ch, n_max]
+        y = np.asarray(oneshot(plan, batch, dtype=np.float32))
+        for i, (path, bits, d) in enumerate(members):
+            count = plan.lengths.canonical(d.shape[0])
+            out = y[i * channels:(i + 1) * channels, :count].T
+            dest = outdir / pathlib.Path(path).name
+            w = WavWriter(dest, int(args.rate), channels,
+                          args.bits or (bits if bits in (16, 24, 32) else 16))
+            w.write(out)
+            w.close()
+            total_frames += d.shape[0]
+            if args.v:
+                print(f"  {path} -> {dest} ({d.shape[0]} -> {count} frames)")
+    elapsed = time.perf_counter() - t0
+    print(f"batch: {len(files)} file(s), {total_frames} frames in "
+          f"{elapsed:.2f} s")
+    return 0
+
+
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -65,6 +134,17 @@ def run(argv=None) -> int:
     from ..utils.wav import WavReader, WavWriter
 
     preset = QualityPreset(_QUALITY_NAMES[args.quality])
+
+    if args.outdir is not None:
+        if args.output is not None:
+            args.input.append(args.output)
+        return run_batch(args, preset)
+    if args.output is None or len(args.input) != 1:
+        print("error: single-file mode needs exactly: input output "
+              "(use -outdir for batch mode)", file=sys.stderr)
+        return 2
+    args.input = args.input[0]
+
     dtype = np.float32
     if not args.fast:
         # The float64 engine needs x64; TPU backends are float32-native.

@@ -217,3 +217,29 @@ class TestCLI:
         from go_audio_resampler_tpu.cli import analyze_filter
         assert analyze_filter.run(["-phases", "8", "-taps", "16"]) == 0
         assert "DC gain" in capsys.readouterr().out
+
+
+class TestCLIBatch:
+    def test_batch_mode(self, tmp_path):
+        from go_audio_resampler_tpu.cli import resample_wav
+        indir = tmp_path / "in"
+        outdir = tmp_path / "out"
+        indir.mkdir()
+        lengths = [2205, 4410, 1103]
+        for i, n in enumerate(lengths):
+            t = np.arange(n) / 44100
+            w = WavWriter(indir / f"f{i}.wav", 44100, 1, 16, use_native=False)
+            w.write((0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+            w.close()
+        rc = resample_wav.run(
+            [str(indir / f"f{i}.wav") for i in range(3)]
+            + ["-outdir", str(outdir), "-rate", "48000"])
+        assert rc == 0
+        for i, n in enumerate(lengths):
+            r = WavReader(outdir / f"f{i}.wav", use_native=False)
+            assert r.sample_rate == 48000
+            assert abs(r.num_frames - n * 48000 / 44100) < 100
+
+    def test_single_file_arg_errors(self, tmp_path):
+        from go_audio_resampler_tpu.cli import resample_wav
+        assert resample_wav.run([str(tmp_path / "x.wav")]) == 2
