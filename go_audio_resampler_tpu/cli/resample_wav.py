@@ -135,15 +135,16 @@ def run(argv=None) -> int:
 
     preset = QualityPreset(_QUALITY_NAMES[args.quality])
 
+    # argparse's greedy nargs='+' consumes every positional; re-split here.
+    positionals = list(args.input) + ([args.output] if args.output else [])
     if args.outdir is not None:
-        if args.output is not None:
-            args.input.append(args.output)
+        args.input = positionals
         return run_batch(args, preset)
-    if args.output is None or len(args.input) != 1:
+    if len(positionals) != 2:
         print("error: single-file mode needs exactly: input output "
               "(use -outdir for batch mode)", file=sys.stderr)
         return 2
-    args.input = args.input[0]
+    args.input, args.output = positionals
 
     dtype = np.float32
     if not args.fast:
