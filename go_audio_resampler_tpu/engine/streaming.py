@@ -170,6 +170,13 @@ class EngineCore:
                                    (p.bank_a, p.bank_b, p.bank_c, p.bank_d))
                 m = self.block * p.factor
                 self.poly_cap = _ceil_div(m * p.num_phases * 65536, p.step) + 1
+                # int32 safety for the two-limb walk (stages.walk16):
+                # j * step_lo must stay below 2^31, so cap < 2^15.
+                while self.poly_cap > 32767:
+                    self.block //= 2
+                    m = self.block * p.factor
+                    self.poly_cap = _ceil_div(
+                        m * p.num_phases * 65536, p.step) + 1
                 # keep = residual history bound (see stages.py poly_process)
                 step_in = _ceil_div(p.step, p.num_phases * 65536)
                 self.poly_keep = p.poly_taps + step_in + 2
