@@ -79,6 +79,15 @@ def run_batch(args, preset) -> int:
 
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
+    seen_names = {}
+    for path in args.input:
+        name = pathlib.Path(path).name
+        if name in seen_names:
+            print(f"error: output name collision: {seen_names[name]!r} and "
+                  f"{path!r} would both write {outdir / name}",
+                  file=sys.stderr)
+            return 1
+        seen_names[name] = path
     t0 = time.perf_counter()
     files = []
     for path in args.input:

@@ -56,6 +56,11 @@ def load_stream_state(engine: EngineCore, path) -> None:
                     f"state leaf {i} shape mismatch: engine has "
                     f"{np.shape(cur)}, checkpoint has {arr.shape} "
                     "(plan/batch/block/dtype must match)")
+            if np.asarray(cur).dtype != arr.dtype:
+                raise ValueError(
+                    f"state leaf {i} dtype mismatch: engine has "
+                    f"{np.asarray(cur).dtype}, checkpoint has {arr.dtype} "
+                    "(plan/batch/block/dtype must match)")
             new_leaves.append(arr)
         engine.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         engine._pending = data["pending"]

@@ -197,6 +197,13 @@ class EngineCore:
             self._drop_override = self._decim_carry // p.factor
         if p.kind == 'cubic':
             self.cubic_cap = _ceil_div(self.block << 32, p.cubic_step) + 1
+            # int32 safety for the two-limb walk32 (stages.py:56-73):
+            # j * s_f0 / j * s_f1 must stay below 2^31, so cap < 2^15 —
+            # the same bound as the polyphase walk16 clamp above.  Without
+            # this, upsampling ratios >~16 silently wrap the sample index.
+            while self.cubic_cap > 32767 and self.block > 1:
+                self.block //= 2
+                self.cubic_cap = _ceil_div(self.block << 32, p.cubic_step) + 1
 
     def _init_state(self):
         p, s, d = self.plan, self.batch, self.dtype

@@ -113,8 +113,15 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
         return init_state, jax.jit(_step), block
 
     # General (non-exact-rational) plans: poly-walk step.
+    # int32 safety for walk16 (stages.py:40-53): cap < 2^15, the same
+    # clamp as EngineCore._build_constants — a large caller block with a
+    # high upsampling ratio would otherwise overflow the phase walk.
     m = block * plan.factor
     cap = -(-m * plan.num_phases * 65536 // plan.step) + 1
+    while cap > 32767 and block > 1:
+        block //= 2
+        m = block * plan.factor
+        cap = -(-m * plan.num_phases * 65536 // plan.step) + 1
     step_in = -(-plan.step // (plan.num_phases * 65536))
     keep = plan.poly_taps + step_in + 2
     hist_size = keep + m + plan.lengths.core_delta()

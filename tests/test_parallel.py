@@ -74,6 +74,35 @@ class TestShardedStreaming:
         np.testing.assert_allclose(got[:, :m], ref[:, :m], atol=1e-5)
 
 
+class TestShardedStreamingGeneralPath:
+    def test_high_ratio_block_clamped_and_matches_serial(self, mesh):
+        # ADVICE r1 (medium): the general poly-walk sharded step must clamp
+        # its block so the walk16 cap stays < 2^15 (int32 safety), same as
+        # EngineCore._build_constants.
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(1000.0, 199500.0, Quality.LOW)
+        assert plan.kind == 'two_stage' and not plan.is_rational_exact
+        init, step, blk = parallel.sharded_stream_step(
+            plan, mesh, batch_per_device=1, block=2048)
+        m = blk * plan.factor
+        cap = -(-m * plan.num_phases * 65536 // plan.step) + 1
+        assert cap <= 32767
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(8, 2 * blk)).astype(np.float32)
+        state = init()
+        outs = []
+        for i in range(2):
+            state, y, n, peak = step(
+                state, jnp.asarray(x[:, i * blk:(i + 1) * blk]))
+            outs.append(np.asarray(y)[:, :int(n)])
+        got = np.concatenate(outs, axis=1)[:, plan.lengths.drop_prefix():]
+        eng = EngineCore(plan, batch=8, block=blk, dtype=np.float32)
+        ref = eng.process(x)
+        m2 = min(got.shape[1], ref.shape[1])
+        assert m2 > 100
+        np.testing.assert_allclose(got[:, :m2], ref[:, :m2], atol=2e-4)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import __graft_entry__ as ge

@@ -62,6 +62,37 @@ class TestCheckpointResume:
         with pytest.raises((ValueError, KeyError)):
             load_stream_state(eng, p)
 
+    def test_dtype_mismatch_rejected(self, tmp_path):
+        # ADVICE r1: a float32 checkpoint must not restore into a float64
+        # engine of identical shapes.
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        eng32 = EngineCore(plan, batch=1, block=512, dtype=np.float32)
+        ckpt = tmp_path / "f32.npz"
+        save_stream_state(eng32, ckpt)
+        eng64 = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        with pytest.raises(ValueError, match="dtype"):
+            load_stream_state(eng64, ckpt)
+
+
+class TestStreamingHighRatioQuick:
+    """ADVICE r1 (high): walk32 int32 overflow at upsampling ratios >~16.
+
+    The streaming cubic cap must be clamped to < 2^15 like the polyphase
+    cap; without the clamp, j*s_f0 / j*s_f1 in stages.walk32 wrap int32 and
+    shift the integer sample index, silently corrupting QUICK output.
+    """
+
+    @pytest.mark.parametrize("ratio", [8.0, 20.0, 40.0, 150.0, 255.9])
+    def test_streaming_matches_oneshot(self, ratio):
+        plan = plan_engine(1000.0, 1000.0 * ratio, Quality.QUICK)
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((1, 700))
+        ref = np.asarray(oneshot(plan, x, dtype=np.float64))
+        eng = EngineCore(plan, batch=1, block=2048, dtype=np.float64)
+        got = np.concatenate([eng.process(x), eng.flush()], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
 
 class TestFuzzEdgeCases:
     """fuzz_test.go:11-73 analogs (deterministic corpus)."""
@@ -243,3 +274,20 @@ class TestCLIBatch:
     def test_single_file_arg_errors(self, tmp_path):
         from go_audio_resampler_tpu.cli import resample_wav
         assert resample_wav.run([str(tmp_path / "x.wav")]) == 2
+
+    def test_basename_collision_rejected(self, tmp_path, capsys):
+        # ADVICE r1: two inputs with the same basename must not silently
+        # overwrite each other's output in -outdir.
+        from go_audio_resampler_tpu.cli import resample_wav
+        for sub in ("a", "b"):
+            d = tmp_path / sub
+            d.mkdir()
+            w = WavWriter(d / "same.wav", 44100, 1, 16, use_native=False)
+            w.write(np.zeros((100, 1), np.float32))
+            w.close()
+        rc = resample_wav.run([str(tmp_path / "a" / "same.wav"),
+                               str(tmp_path / "b" / "same.wav"),
+                               "-outdir", str(tmp_path / "out"),
+                               "-rate", "48000"])
+        assert rc == 1
+        assert "collision" in capsys.readouterr().err
