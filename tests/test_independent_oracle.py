@@ -1,0 +1,180 @@
+"""Independent-oracle A/B tier: scipy polyphase + closed-form tone fits.
+
+The framework's only sample-exact oracle (tests/oracle.py) shares the
+filter-design code with the engine, so a design bug would pass both sides.
+This module anchors correctness to implementations that share *nothing*
+with the framework:
+
+1. scipy.signal.resample_poly A/B over every plan topology, with the
+   reference's correlation-alignment methodology
+   (soxr_comparison_test.go:27-120) tightened by sub-sample alignment;
+2. closed-form tone least-squares fits (amplitude ~1, residual below a
+   per-case floor) — ground truth with no reference implementation;
+3. mutation checks proving the tier *fails* on a deliberately perturbed
+   coefficient (VERDICT r1 acceptance criterion).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from go_audio_resampler_tpu.engine import plan_engine, oneshot
+from go_audio_resampler_tpu.filterdesign import Quality
+
+from independent import (align_and_compare, bandlimited_noise, scipy_resample,
+                         tone_fit)
+
+N = 8000
+
+# All 14 plan topologies (same matrix as test_engine_core.TOPOLOGIES).
+TOPOLOGIES = [
+    (44100, 48000, Quality.HIGH),
+    (48000, 44100, Quality.HIGH),
+    (44100, 48000, Quality.VERY_HIGH),
+    (44100, 48000, Quality.LOW),
+    (44100, 48000, Quality.MEDIUM),
+    (48000, 96000, Quality.HIGH),
+    (48000, 192000, Quality.MEDIUM),
+    (96000, 48000, Quality.HIGH),
+    (192000, 48000, Quality.MEDIUM),
+    (48000, 32000, Quality.HIGH),
+    (44100, 48000, Quality.QUICK),
+    (48000, 44100, Quality.QUICK),
+    (22050, 48000, Quality.HIGH),
+    (48000, 11025, Quality.HIGH),
+]
+
+
+def run_engine(plan, x):
+    return np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+
+
+def sine(n, freq, rate):
+    return np.sin(2 * np.pi * freq * np.arange(n) / rate)
+
+
+class TestScipyABSine:
+    """997 Hz tone through both implementations; aligned Pearson + max err.
+
+    The reference's floors are 0.99 Pearson / 15% max error for low-freq
+    sines (soxr_comparison_test.go:27-35); with sub-sample alignment the
+    measured agreement is <0.2% so the floors here are 25x tighter.
+    """
+
+    @pytest.mark.parametrize("inr,outr,q", TOPOLOGIES)
+    def test_sine_matches_scipy(self, inr, outr, q):
+        plan = plan_engine(inr, outr, q)
+        x = sine(N, 997.0, inr)
+        got = run_engine(plan, x)
+        want = scipy_resample(x, inr, outr)
+        corr, err = align_and_compare(want, got)
+        assert corr >= 0.9999, f"Pearson {corr:.6f}"
+        assert err <= 0.006, f"max rel err {err:.5f}"
+
+
+class TestScipyABNoise:
+    """Band-limited noise: alignment is unambiguous and the comparison
+    exercises the whole passband, not one tone."""
+
+    @pytest.mark.parametrize("inr,outr,q", TOPOLOGIES)
+    def test_noise_matches_scipy(self, inr, outr, q):
+        plan = plan_engine(inr, outr, q)
+        cutoff = 0.5 * min(inr, outr) / inr    # fraction of input Nyquist
+        x = bandlimited_noise(N, cutoff)
+        got = run_engine(plan, x)
+        want = scipy_resample(x, inr, outr)
+        corr, err = align_and_compare(want, got)
+        if q is Quality.QUICK:
+            # cubic interpolation: ~4% droop vs a long-FIR resampler
+            assert corr >= 0.999, f"Pearson {corr:.6f}"
+            assert err <= 0.08, f"max rel err {err:.5f}"
+        else:
+            assert corr >= 0.99999, f"Pearson {corr:.6f}"
+            assert err <= 0.004, f"max rel err {err:.5f}"
+
+
+# Per-case residual floors (dB), calibrated = measured at N=8000 plus
+# ~8 dB margin.  LS-fit residual is the closed-form THD+N of the chain.
+_RESID_FLOORS = {
+    (44100, 48000, Quality.HIGH): (-132, -132),
+    (48000, 44100, Quality.HIGH): (-135, -136),
+    (44100, 48000, Quality.VERY_HIGH): (-180, -178),
+    (44100, 48000, Quality.LOW): (-112, -113),
+    (44100, 48000, Quality.MEDIUM): (-103, -105),
+    (48000, 96000, Quality.HIGH): (-158, -150),
+    (48000, 192000, Quality.MEDIUM): (-125, -127),
+    (96000, 48000, Quality.HIGH): (-255, -250),
+    (192000, 48000, Quality.MEDIUM): (-260, -255),
+    (48000, 32000, Quality.HIGH): (-195, -168),
+    (44100, 48000, Quality.QUICK): (-102, -64),
+    (48000, 44100, Quality.QUICK): (-105, -67),
+    (22050, 48000, Quality.HIGH): (-134, -129),
+    (48000, 11025, Quality.HIGH): (-129, -130),
+}
+
+
+class TestToneLSFit:
+    """Closed-form ground truth: output of a sine must be that sine."""
+
+    @pytest.mark.parametrize("inr,outr,q", TOPOLOGIES)
+    @pytest.mark.parametrize("fi", [0, 1])
+    def test_tone_amplitude_and_residual(self, inr, outr, q, fi):
+        freq = (997.0, 3001.0)[fi]
+        plan = plan_engine(inr, outr, q)
+        y = run_engine(plan, sine(N, freq, inr))
+        amp, resid_db = tone_fit(y, outr, freq)
+        amp_tol = 1e-3 if q is Quality.QUICK else 1e-4
+        assert abs(amp - 1.0) <= amp_tol, f"amplitude {amp:.6f}"
+        floor = _RESID_FLOORS[(inr, outr, q)][fi]
+        assert resid_db <= floor, f"residual {resid_db:.2f} dB > {floor} dB"
+
+
+def _perturbed(plan, **arrays):
+    p = dataclasses.replace(plan)
+    for name, val in arrays.items():
+        setattr(p, name, val)
+    p.lengths = plan.lengths
+    return p
+
+
+class TestMutationDetection:
+    """The tier must fail on a deliberately perturbed coefficient."""
+
+    def test_polyphase_bank_bug_detected(self):
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        bank_a = plan.bank_a.copy()
+        bank_a[13] *= 1.01        # mis-normalized phase row (1% bug)
+        bad = _perturbed(plan, bank_a=bank_a)
+        x = bandlimited_noise(N, 0.5)
+        want = scipy_resample(x, 44100, 48000)
+        _, err_good = align_and_compare(want, run_engine(plan, x))
+        _, err_bad = align_and_compare(want, run_engine(bad, x))
+        assert err_good <= 0.004
+        assert err_bad > 0.004, (
+            f"perturbed bank not detected: err {err_bad:.5f}")
+
+    def test_decimation_coeff_bug_detected(self):
+        plan = plan_engine(96000, 48000, Quality.HIGH)
+        coeffs = plan.decim_coeffs.copy()
+        mid = len(coeffs) // 2
+        coeffs[mid] *= 1.01       # 1% center-tap bug
+        bad = _perturbed(plan, decim_coeffs=coeffs)
+        y = run_engine(bad, sine(N, 997.0, 96000))
+        amp, resid_db = tone_fit(y, 48000, 997.0)
+        floor = _RESID_FLOORS[(96000, 48000, Quality.HIGH)][0]
+        assert resid_db > floor or abs(amp - 1.0) > 1e-4, (
+            f"perturbed decim coeffs not detected: amp {amp:.7f}, "
+            f"resid {resid_db:.2f} dB")
+
+    def test_prestage_bug_detected(self):
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        pre = plan.pre_coeffs.copy()
+        pre[1] *= 1.01            # mis-scaled prestage phase (1% bug)
+        bad = _perturbed(plan, pre_coeffs=pre)
+        y = run_engine(bad, sine(N, 997.0, 44100))
+        amp, resid_db = tone_fit(y, 48000, 997.0)
+        floor = _RESID_FLOORS[(44100, 48000, Quality.HIGH)][0]
+        assert resid_db > floor or abs(amp - 1.0) > 1e-4, (
+            f"perturbed prestage not detected: amp {amp:.7f}, "
+            f"resid {resid_db:.2f} dB")
