@@ -489,12 +489,25 @@ class DecimationFilter:
     num_taps: int
 
 
+# Beyond-reference: minimum design attenuation for the decimation prototype
+# at HIGH quality and above.  The reference uses quality_to_attenuation
+# directly (126.4 dB at HIGH), which measures ~148 dB steady-state alias
+# rejection — short of the libsoxr capture's 157.14 dB (96k->48k,
+# soxr_reference_data.json).  Flooring the design attenuation at 150 dB
+# raises HIGH's steady-state rejection past the capture; passband behavior
+# (THD/DC/ripple) is unchanged because Fp/Fc stay the same and Kaiser
+# passband ripple tracks the (deeper) stopband ripple.
+DECIM_ATTENUATION_FLOOR_DB = 150.0
+_DECIM_FLOOR_MIN_QUALITY_ATT = 120.0   # applies to HIGH/BITS_20 and up
+
+
 def design_decimation(factor: int, quality: Quality) -> DecimationFilter:
     """Anti-aliasing lowpass for M-x decimation (cutoff near output Nyquist).
 
     Fp = passband_end(q)/factor, Fs = 1/factor, trBW = 0.5*(Fs-Fp),
     Fc = Fs - trBW, all scaled to the [0, 0.5] design convention.
-    Reference parity: NewDFTDecimationStage (dft_stage.go:401-475).
+    Reference parity: NewDFTDecimationStage (dft_stage.go:401-475), plus the
+    beyond-reference HIGH+ attenuation floor (DECIM_ATTENUATION_FLOOR_DB).
     """
     if factor < 1:
         raise kaiser.FilterDesignError(f"decimation factor must be >= 1: {factor}")
@@ -506,6 +519,8 @@ def design_decimation(factor: int, quality: Quality) -> DecimationFilter:
     fc = fs_norm - tr_bw
     cutoff = fc * NYQUIST_FRACTION
     attenuation = quality_to_attenuation(quality)
+    if attenuation >= _DECIM_FLOOR_MIN_QUALITY_ATT:
+        attenuation = max(attenuation, DECIM_ATTENUATION_FLOOR_DB)
     transition_bw = tr_bw * NYQUIST_FRACTION
     proto = kaiser.design_lowpass_auto(cutoff, transition_bw, attenuation, 1.0)
     return DecimationFilter(factor=factor, coeffs=proto[::-1].copy(),

@@ -124,15 +124,56 @@ class TestDCGain:
         assert abs(g - 1.0) <= DC_TOL, f"DC gain {g:.6f} outside +-{DC_TOL}"
 
 
+def steady_state_attenuation(inr, outr, q):
+    """Alias attenuation with the convolution ramp and flush tail trimmed.
+
+    The untrimmed measurement conflates the filter's alias rejection with
+    the truncation splatter of the finite test signal (the flush step's
+    band-limited ringing near the cutoff) — demonstrably: a 47 dB deeper
+    VHQ filter measures *worse* untrimmed than HIGH.  Trimming isolates the
+    filter property the libsoxr capture reflects.
+    """
+    plan = plan_engine(inr, outr, q)
+    x = signals.alias_tones(NUM_SAMPLES, inr, outr)
+    y = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+    tr = max(plan.decim_taps // plan.factor, 2048)
+    yt = y[tr:-tr]
+    assert len(yt) >= 8192
+    return metrics.antialias_attenuation(x, yt, inr, outr)
+
+
 class TestAntiAliasing:
     def test_integer_decimation_attenuation(self):
-        # Integer-ratio decimation must exceed the reference's 80 dB floor
-        # (antialiasing_test.go:27); the DFT-decimation filter actually
-        # delivers 110+ dB here.
+        # Untrimmed floor: exceeds the reference's 80 dB
+        # (antialiasing_test.go:27) with margin; the value is splatter-
+        # limited (see steady_state_attenuation), not filter-limited.
         x = signals.alias_tones(NUM_SAMPLES, 96000, 48000)
         y = resample(x, 96000, 48000, Quality.VERY_HIGH)
         att = metrics.antialias_attenuation(x, y, 96000, 48000)
-        assert att >= 100.0, f"anti-alias attenuation {att:.1f} dB < 100"
+        assert att >= 105.0, f"anti-alias attenuation {att:.1f} dB < 105"
+
+    @pytest.mark.parametrize("inr,outr,q,floor", [
+        (96000, 48000, Quality.HIGH, 160.0),
+        (96000, 48000, Quality.VERY_HIGH, 180.0),
+        (48000, 16000, Quality.HIGH, 165.0),
+        (48000, 16000, Quality.VERY_HIGH, 185.0),
+        (192000, 48000, Quality.HIGH, 160.0),
+        (192000, 48000, Quality.VERY_HIGH, 178.0),
+    ])
+    def test_integer_decimation_steady_state(self, inr, outr, q, floor):
+        # Beyond-reference decimation depth (DECIM_ATTENUATION_FLOOR_DB):
+        # steady-state alias rejection at HIGH+ beats the libsoxr capture
+        # (157.14 dB at 96k->48k) on every integer decimation.
+        att = steady_state_attenuation(inr, outr, q)
+        assert att >= floor, f"steady-state attenuation {att:.1f} dB < {floor}"
+
+    def test_decimation_vs_soxr_golden(self):
+        # Golden-capture comparison: beat libsoxr's measured 96k->48k alias
+        # rejection (soxr_reference_data.json) by >= 10 dB in steady state.
+        golden = GOLDEN["antialiasing"]["96000_48000_alias_tones"]
+        att = steady_state_attenuation(96000, 48000, Quality.VERY_HIGH)
+        assert att >= golden + 10.0, \
+            f"steady-state {att:.1f} dB vs soxr capture {golden:.2f}"
 
     @pytest.mark.parametrize("inr,outr", [(48000, 32000), (48000, 44100)])
     def test_noninteger_downsampling_informational(self, inr, outr):
