@@ -30,6 +30,11 @@ def save_stream_state(engine: EngineCore, path) -> None:
     payload["counters"] = np.array([
         engine.samples_in, engine.samples_out, engine._core_emitted,
         1 if engine._flushed else 0], dtype=np.int64)
+    if getattr(engine, "_has_aa", False):
+        payload["aa_carry"] = np.asarray(engine._aa_carry)
+        payload["aa_raw"] = engine._aa_raw
+        payload["aa_counters"] = np.array(
+            [engine._aa_causal, engine._aa_delivered], dtype=np.int64)
     payload["magic"] = np.frombuffer(_MAGIC.encode(), dtype=np.uint8)
     buf = io.BytesIO()
     np.savez(buf, **payload)
@@ -69,3 +74,21 @@ def load_stream_state(engine: EngineCore, path) -> None:
         engine.samples_out = int(counters[1])
         engine._core_emitted = int(counters[2])
         engine._flushed = bool(counters[3])
+        if getattr(engine, "_has_aa", False) != ("aa_carry" in data):
+            raise ValueError(
+                "prefilter state mismatch: engine and checkpoint disagree "
+                "on strict_antialias (plan must match)")
+        if getattr(engine, "_has_aa", False):
+            carry = data["aa_carry"]
+            cur = np.asarray(engine._aa_carry)
+            if cur.shape != carry.shape or cur.dtype != carry.dtype:
+                raise ValueError(
+                    f"prefilter carry mismatch: engine has "
+                    f"{cur.shape}/{cur.dtype}, checkpoint has "
+                    f"{carry.shape}/{carry.dtype}")
+            import jax.numpy as jnp
+            engine._aa_carry = jnp.asarray(carry)
+            engine._aa_raw = data["aa_raw"]
+            aa_counters = data["aa_counters"]
+            engine._aa_causal = int(aa_counters[0])
+            engine._aa_delivered = int(aa_counters[1])

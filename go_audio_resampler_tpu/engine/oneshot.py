@@ -324,6 +324,13 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str) -> jax.Array:
         return _decim_apply_matmul(plan, xext[:, t - 1:], canonical, dtype)
 
     # two_stage
+    if plan.aa_taps:
+        # strict-antialias prefilter: delay-compensated 'same' lowpass at
+        # the input rate (EnginePlan.aa_coeffs); counts/grid unchanged.
+        d = (plan.aa_taps - 1) // 2
+        xext = jnp.pad(x, ((0, 0), (d, d)))
+        h = jnp.asarray(plan.aa_coeffs, dtype=dtype)
+        x = conv1d_poly(xext, h[None, :], stride=1)[:, 0, :]
     t1, f = plan.pre_taps, plan.factor
     if plan.is_rational_exact:
         # Fused path: both stages composed into one banded matmul over x.

@@ -77,6 +77,12 @@ class EnginePlan:
     bank_c: np.ndarray | None = None
     bank_d: np.ndarray | None = None
 
+    # strict-antialias 1:1 prefilter (beyond reference; see
+    # filterdesign.params.AntialiasPrefilter).  Natural-order symmetric
+    # coeffs; applied delay-compensated so counts/latency are unchanged.
+    aa_coeffs: np.ndarray | None = None
+    aa_taps: int = 0
+
     lengths: LengthModel | None = None
 
     # ---- derived helpers -------------------------------------------------
@@ -140,7 +146,8 @@ class EnginePlan:
             return self.pre_taps * self.factor
         if self.kind == 'decimate':
             return self.decim_taps
-        return self.pre_taps * self.factor + self.poly_taps * self.num_phases
+        return (self.pre_taps * self.factor
+                + self.poly_taps * self.num_phases + self.aa_taps)
 
     def algorithm(self) -> str:
         return {
@@ -221,17 +228,22 @@ def plan_engine(input_rate: float, output_rate: float,
 
     num_phases, _ = fdp.find_rational_approx(poly_ratio)
     bank = fdp.design_polyphase_filter(num_phases, poly_ratio, total_io,
-                                       has_pre, quality,
-                                       strict_antialias=strict_antialias)
+                                       has_pre, quality)
     A, B, C, D = fdp.cubic_phase_banks(bank)
     step = fdp.polyphase_step(poly_ratio, num_phases)
+
+    aa_coeffs, aa_taps = None, 0
+    if strict_antialias and ratio < 1.0:
+        aa = fdp.design_antialias_prefilter(ratio, quality)
+        aa_coeffs, aa_taps = aa.coeffs, aa.num_taps
 
     plan = EnginePlan(kind='two_stage', input_rate=input_rate,
                       output_rate=output_rate, ratio=ratio, quality=quality,
                       factor=pre_factor, pre_coeffs=pre.phase_coeffs,
                       pre_taps=pre.taps_per_phase, num_phases=num_phases,
                       poly_taps=bank.taps_per_phase, step=step,
-                      bank_a=A, bank_b=B, bank_c=C, bank_d=D)
+                      bank_a=A, bank_b=B, bank_c=C, bank_d=D,
+                      aa_coeffs=aa_coeffs, aa_taps=aa_taps)
     plan.lengths = LengthModel(kind='two_stage', factor=pre_factor,
                                pre_taps=pre.taps_per_phase,
                                taps=bank.taps_per_phase,

@@ -149,8 +149,21 @@ def prestage_process(coeffs: jax.Array, state: PrestageState, x: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Polyphase stage (polyphase_stage.go:186-311)
+# 1:1 FIR stage (strict-antialias prefilter; beyond reference)
 # ---------------------------------------------------------------------------
+
+def fir_process(coeffs: jax.Array, carry: jax.Array, x: jax.Array):
+    """Causal streaming FIR: [S, B] in -> [S, B] out, carry T-1 samples.
+
+    ``coeffs`` [T] is the correlation kernel (symmetric for the linear-
+    phase prefilter, so convolution == correlation).  Output i is the
+    causal filtered stream c_i = sum_t coeffs[t] * (0^{T-1} ++ x)[i + t];
+    the wrapper drops the first (T-1)/2 outputs to realize the
+    delay-compensated 'same' filtering the one-shot path uses.
+    """
+    xext = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+    y = conv1d_poly(xext, coeffs[None, :].astype(x.dtype), stride=1)[:, 0, :]
+    return xext[:, x.shape[1]:], y
 
 def poly_coeff_matrix(banks, phase: jax.Array, x: jax.Array) -> jax.Array:
     """Interpolated coefficient rows: A[p] + x*(B[p] + x*(C[p] + x*D[p])).

@@ -43,6 +43,11 @@ def _step_cubic(state, x, cubic_step, cap):
     return st, y, n
 
 
+@partial(jax.jit, donate_argnames=('carry',))
+def _step_fir(coeffs, carry, x):
+    return stages.fir_process(coeffs, carry, x)
+
+
 @partial(jax.jit, static_argnames=('factor',), donate_argnames=('state',))
 def _step_dft_up(coeffs, state, x, factor):
     st, u = stages.prestage_process(coeffs, state, x, factor)
@@ -148,6 +153,10 @@ class EngineCore:
         p = self.plan
         if p.kind in ('dft_up', 'two_stage'):
             self.pre_coeffs = jnp.asarray(p.pre_coeffs, dtype=self.dtype)
+        self._has_aa = p.kind == 'two_stage' and p.aa_taps > 0
+        if self._has_aa:
+            self._aa_coeffs = jnp.asarray(p.aa_coeffs, dtype=self.dtype)
+            self._aa_delay = (p.aa_taps - 1) // 2
         self._drop_override = None
         self.rational_fused = False
         if p.kind == 'two_stage':
@@ -257,6 +266,47 @@ class EngineCore:
         self.samples_out = 0      # canonical samples emitted to the caller
         self._core_emitted = 0    # core outputs seen (incl. transient prefix)
         self._flushed = False
+        if self._has_aa:
+            self._aa_carry = jnp.zeros(
+                (self.batch, self.plan.aa_taps - 1), self.dtype)
+            self._aa_raw = np.zeros((self.batch, 0), dtype=self.dtype)
+            self._aa_causal = 0      # causal FIR outputs produced so far
+            self._aa_delivered = 0   # centered samples handed downstream
+
+    # -- strict-antialias prefilter (EnginePlan.aa_coeffs) ------------------
+
+    def _aa_push(self, x: np.ndarray) -> np.ndarray:
+        """Stream raw samples through the prefilter; return the centered
+        (delay-compensated) filtered samples now available."""
+        self._aa_raw = np.concatenate([self._aa_raw, x], axis=1)
+        outs = []
+        while self._aa_raw.shape[1] >= self.block:
+            blk = jnp.asarray(self._aa_raw[:, :self.block], dtype=self.dtype)
+            self._aa_raw = self._aa_raw[:, self.block:]
+            self._aa_carry, y = _step_fir(self._aa_coeffs, self._aa_carry,
+                                          blk)
+            outs.append(np.asarray(y))
+        if not outs:
+            return np.zeros((self.batch, 0), dtype=self.dtype)
+        y = np.concatenate(outs, axis=1)
+        skip = min(max(self._aa_delay - self._aa_causal, 0), y.shape[1])
+        self._aa_causal += y.shape[1]
+        y = y[:, skip:]
+        self._aa_delivered += y.shape[1]
+        return y
+
+    def _aa_drain(self) -> np.ndarray:
+        """Flush the prefilter so its centered stream totals samples_in."""
+        remaining = self.samples_in - self._aa_delivered
+        if remaining <= 0:
+            return np.zeros((self.batch, 0), dtype=self.dtype)
+        total = self._aa_raw.shape[1] + self._aa_delay
+        zpad = _ceil_div(total, self.block) * self.block \
+            - self._aa_raw.shape[1]
+        out = self._aa_push(np.zeros((self.batch, zpad), dtype=self.dtype))
+        out = out[:, :remaining]
+        self._aa_delivered = self.samples_in
+        return out
 
     def _run_block(self, block_np: np.ndarray) -> np.ndarray:
         x = jnp.asarray(block_np, dtype=self.dtype)
@@ -296,6 +346,8 @@ class EngineCore:
         if x.shape[0] != self.batch:
             raise ValueError(f"expected {self.batch} streams, got {x.shape[0]}")
         self.samples_in += x.shape[1]
+        if self._has_aa:
+            x = self._aa_push(x)
         self._pending = np.concatenate([self._pending, x], axis=1)
         outs = []
         while self._pending.shape[1] >= self.block:
@@ -316,6 +368,12 @@ class EngineCore:
         if self._flushed:
             return np.zeros((self.batch, 0), dtype=self.dtype)
         self._flushed = True
+        if self._has_aa:
+            # Complete the prefiltered stream to exactly samples_in samples
+            # (the core's flush zeros below are then appended to it, same
+            # as the one-shot path).
+            self._pending = np.concatenate(
+                [self._pending, self._aa_drain()], axis=1)
         lm = self.plan.lengths
         canonical_total = lm.canonical(self.samples_in) + 0
         rem = self._pending.shape[1]

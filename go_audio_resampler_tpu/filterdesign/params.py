@@ -192,7 +192,6 @@ def compute_polyphase_filter_params(
     has_pre_stage: bool,
     attenuation: float,
     passband_end: float,
-    strict_antialias: bool = False,
 ) -> PolyphaseFilterParams:
     """soxr's Fn/Fp/Fs normalization and tap sizing.
 
@@ -222,16 +221,6 @@ def compute_polyphase_filter_params(
     if (not p.is_upsampling) and has_pre_stage:
         p.fn = SOXR_DOWNSAMPLING_FN_FACTOR * p.mult
         p.fs_raw = SOXR_DOWNSAMPLING_FS_BASE + abs(p.fs1 - 1.0)
-        p.fp_raw = p.fp1
-    elif (not p.is_upsampling) and strict_antialias:
-        # Beyond-reference mode: for downsampling through a 2x upsampling
-        # pre-stage, place the stopband AT the output Nyquist (Fs1 = ratio)
-        # instead of the anti-imaging formula the reference inherits from
-        # soxr's preM=0 case (which leaves the would-alias band largely
-        # unattenuated — the reference treats that metric as informational,
-        # antialiasing_test.go:727-737).
-        p.fn = 1.0
-        p.fs_raw = p.fs1
         p.fp_raw = p.fp1
     else:
         p.fn = 1.0
@@ -328,21 +317,18 @@ def design_polyphase_filter(
     total_io_ratio: float,
     has_pre_stage: bool,
     quality: Quality,
-    strict_antialias: bool = False,
 ) -> PolyphaseFilter:
     """Design the polyphase prototype and decompose into phases.
 
     Prototype DC gain is normalized to ``num_phases`` so each phase has DC
     gain ~1.0.  Reference parity: designPolyphaseFilter
-    (filter_params.go:229-286); ``strict_antialias`` opts into the
-    beyond-reference downsampling stopband (see
-    compute_polyphase_filter_params).
+    (filter_params.go:229-286).
     """
     attenuation = quality_to_attenuation(quality)
     passband_end = quality_to_passband_end(quality)
     params = compute_polyphase_filter_params(
         num_phases, ratio, total_io_ratio, has_pre_stage, attenuation,
-        passband_end, strict_antialias=strict_antialias)
+        passband_end)
 
     cutoff = params.fc / 2.0  # soxr [0,1] scale -> our [0,0.5]
     cutoff = min(max(cutoff, 0.001), 0.499)
@@ -525,3 +511,54 @@ def design_decimation(factor: int, quality: Quality) -> DecimationFilter:
     proto = kaiser.design_lowpass_auto(cutoff, transition_bw, attenuation, 1.0)
     return DecimationFilter(factor=factor, coeffs=proto[::-1].copy(),
                             num_taps=len(proto))
+
+
+@dataclasses.dataclass
+class AntialiasPrefilter:
+    """1:1 anti-alias prefilter for strict non-integer downsampling.
+
+    Beyond-reference: the reference's non-integer downsampling chain (2x
+    upsampling pre-stage + polyphase, soxr's preM=0 case) leaves the
+    would-alias band [outNyq, inNyq] essentially unattenuated — a behavior
+    its tests treat as informational (antialiasing_test.go:727-737), while
+    real libsoxr rejects it by 171+ dB (soxr_reference_data.json).  Strict
+    mode closes that gap with a linear-phase full-input-rate lowpass
+    (passband to passband_end(q)*outNyq, stopband at outNyq) applied as a
+    delay-compensated 'same' convolution before the unchanged default
+    chain, so output sample counts/grid and passband behavior are
+    identical to the default path.
+
+    ``coeffs`` are in natural order (symmetric — linear phase); ``num_taps``
+    is odd so the (T-1)/2 group delay compensates exactly.
+    """
+
+    coeffs: np.ndarray
+    num_taps: int
+
+    @property
+    def delay(self) -> int:
+        return (self.num_taps - 1) // 2
+
+
+def design_antialias_prefilter(ratio: float,
+                               quality: Quality) -> AntialiasPrefilter:
+    """Lowpass with Fp = passband_end(q)*ratio, Fs = ratio (Nyquist-rel.).
+
+    Same attenuation rule as the decimation stage, including the HIGH+
+    150 dB floor (DECIM_ATTENUATION_FLOOR_DB).
+    """
+    if not (0.0 < ratio < 1.0):
+        raise kaiser.FilterDesignError(
+            f"prefilter requires a downsampling ratio in (0,1): {ratio}")
+    fp_norm = quality_to_passband_end(quality) * ratio
+    fs_norm = ratio
+    tr_bw = 0.5 * (fs_norm - fp_norm)
+    fc = fs_norm - tr_bw
+    cutoff = min(max(fc * NYQUIST_FRACTION, 0.001), 0.499)
+    attenuation = quality_to_attenuation(quality)
+    if attenuation >= _DECIM_FLOOR_MIN_QUALITY_ATT:
+        attenuation = max(attenuation, DECIM_ATTENUATION_FLOOR_DB)
+    transition_bw = tr_bw * NYQUIST_FRACTION
+    proto = kaiser.design_lowpass_auto(cutoff, transition_bw, attenuation, 1.0)
+    assert len(proto) % 2 == 1, "Kaiser auto design must return odd taps"
+    return AntialiasPrefilter(coeffs=proto, num_taps=len(proto))

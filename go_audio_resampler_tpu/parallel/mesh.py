@@ -77,6 +77,9 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
     if plan.kind != 'two_stage':
         raise ValueError("sharded_stream_step currently builds the flagship "
                          "two_stage topology")
+    if plan.aa_taps:
+        raise ValueError("sharded_stream_step does not yet support "
+                         "strict-antialias plans (aa prefilter)")
     n_dev = mesh.devices.size
     s_total = batch_per_device * n_dev
     sharding = NamedSharding(mesh, P(STREAM_AXIS, None))

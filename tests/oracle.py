@@ -173,6 +173,10 @@ def oracle_oneshot(plan: EnginePlan, x: np.ndarray) -> np.ndarray:
     if plan.kind == 'decimate':
         st = OracleDecim(plan.decim_coeffs, plan.factor)
         return np.concatenate([st.process(x), st.flush()])
+    if plan.aa_taps:
+        # strict-antialias prefilter: delay-compensated 'same' lowpass
+        d = (plan.aa_taps - 1) // 2
+        x = np.convolve(x, plan.aa_coeffs, mode='full')[d:d + len(x)]
     pre = OracleDFTUp(plan.pre_coeffs, plan.factor)
     poly = OraclePoly((plan.bank_a, plan.bank_b, plan.bank_c, plan.bank_d),
                       plan.num_phases, plan.poly_taps, plan.step)
