@@ -2,7 +2,8 @@
 
 PY ?= python
 
-.PHONY: test test-quick bench lint native clean
+.PHONY: test test-quick bench bench-all bench-baseline bench-check lint \
+	native clean
 
 test: native
 	$(PY) -m pytest tests/ -q
@@ -12,6 +13,19 @@ test-quick: native
 
 bench:
 	$(PY) bench.py
+
+bench-all:
+	$(PY) benchmarks/run_all.py
+
+# Snapshot the current results as the regression baseline (same backend).
+bench-baseline:
+	cp benchmarks/results.json benchmarks/baseline_tpu.json
+
+# Re-run the matrix and fail on a >20% regression vs the committed baseline
+# (benchstat analog of the reference's benchmark workflow).
+bench-check: bench-all
+	$(PY) benchmarks/check_regression.py benchmarks/results.json \
+		benchmarks/baseline_tpu.json --tolerance 0.20
 
 lint:
 	$(PY) tools/lintcheck.py go_audio_resampler_tpu tests bench.py __graft_entry__.py

@@ -1,4 +1,4 @@
-"""Benchmark: Msamples/sec/chip at 44.1k->48k stereo QualityHigh (float32).
+"""Benchmark: Msamples/sec/chip, 44.1k->48k QualityHigh batched streams (f32).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 "vs_baseline": N}.  Baseline = the BASELINE.json north star of
@@ -84,7 +84,7 @@ def main() -> None:
     msamples_per_sec = d_samples / d_t / 1e6
     baseline = 1000.0  # Msamples/sec/chip north star
     print(json.dumps({
-        "metric": "Msamples/sec/chip 44.1k->48k stereo QualityHigh f32",
+        "metric": "Msamples/sec/chip 44.1k->48k QualityHigh batched-streams fused step f32 (slope 128->1024 streams)",
         "value": round(msamples_per_sec, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msamples_per_sec / baseline, 3),

@@ -152,6 +152,35 @@ def main() -> None:
             lambda s: make(s), max(128 // scale, 1),
             max(1024 // scale, 2), blk * n_steps)
 
+    # 7. non-exact-rational general path: gather+einsum polyphase (the
+    # fused periodic matmul does not apply; 44.1k->48.001k has no small
+    # exact rational form)
+    if wanted("general_gather_44k_48k001"):
+        results["general_gather_44k_48k001"] = oneshot_bench(
+            44100, 48001, Quality.HIGH, 44100, 64, 512)
+
+    # 8. pipeline path: api.Resampler multi-stage half-band chain
+    # (48k->8k = 2x half-band + 2/3 polyphase), including the per-stage
+    # host orchestration cost
+    if wanted("pipeline_48k_8k_high"):
+        import go_audio_resampler_tpu as gar
+        n = 48000
+
+        def make_pipeline(s):
+            r = gar.new_resampler(gar.Config(
+                48000, 8000, channels=s,
+                quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
+                dtype=np.float32))
+            chans = [rng.normal(size=n).astype(np.float32) * 0.5
+                     for _ in range(s)]
+
+            def f():
+                out = r.process_multi(chans)
+                return float(np.asarray(out[0][:1]).sum())
+            return f
+        results["pipeline_48k_8k_high"] = slope_msps(
+            make_pipeline, max(8 // scale, 1), max(64 // scale, 2), n)
+
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")
     out = pathlib.Path(__file__).parent / "results.json"

@@ -26,13 +26,13 @@ def save_stream_state(engine: EngineCore, path) -> None:
     """Snapshot an EngineCore's live streaming state to ``path`` (.npz)."""
     leaves, treedef = jax.tree_util.tree_flatten(engine.state)
     payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    payload["pending"] = engine._pending
+    payload["pending"] = engine._pending.snapshot()
     payload["counters"] = np.array([
         engine.samples_in, engine.samples_out, engine._core_emitted,
         1 if engine._flushed else 0], dtype=np.int64)
     if getattr(engine, "_has_aa", False):
         payload["aa_carry"] = np.asarray(engine._aa_carry)
-        payload["aa_raw"] = engine._aa_raw
+        payload["aa_raw"] = engine._aa_raw.snapshot()
         payload["aa_counters"] = np.array(
             [engine._aa_causal, engine._aa_delivered], dtype=np.int64)
     payload["magic"] = np.frombuffer(_MAGIC.encode(), dtype=np.uint8)
@@ -68,7 +68,8 @@ def load_stream_state(engine: EngineCore, path) -> None:
                     "(plan/batch/block/dtype must match)")
             new_leaves.append(arr)
         engine.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
-        engine._pending = data["pending"]
+        engine._pending.reset()
+        engine._pending.write(data["pending"])
         counters = data["counters"]
         engine.samples_in = int(counters[0])
         engine.samples_out = int(counters[1])
@@ -88,7 +89,8 @@ def load_stream_state(engine: EngineCore, path) -> None:
                     f"{carry.shape}/{carry.dtype}")
             import jax.numpy as jnp
             engine._aa_carry = jnp.asarray(carry)
-            engine._aa_raw = data["aa_raw"]
+            engine._aa_raw.reset()
+            engine._aa_raw.write(data["aa_raw"])
             aa_counters = data["aa_counters"]
             engine._aa_causal = int(aa_counters[0])
             engine._aa_delivered = int(aa_counters[1])

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..pipeline.buffer import SampleFIFO
 from .plan import EnginePlan
 from . import stages
 from .stages import (CubicState, DecimState, PolyState, PrestageState, I32)
@@ -60,16 +61,12 @@ def _step_decim(coeffs, state, x, factor):
     return st, y, n
 
 
-@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'),
-         donate_argnames=('carry',))
-def _step_decim_fused(r_t, carry, x, ipx, wx, p2):
-    """Fused streaming decimation: banded frames-matmul per block.
+def _fused_banded_step(r_t, carry, x, ipx, wx, p2):
+    """Shared pure body of the fused banded-matmul streaming steps.
 
-    carry holds the last T-1 input samples (zeros-init); with the block a
-    multiple of Ipx = P*M, every step emits exactly (B/Ipx)*P outputs on
-    the canonical grid (window j = (0^{T-1} ++ stream)[j*M : j*M+T]), so
-    no transient drop is needed.  Replaces the strided convolution, which
-    XLA:TPU lowers poorly for long audio kernels.
+    Gathers period-aligned frames from [carry ++ block] and applies the
+    per-period matrix in one MXU matmul; with the block a multiple of the
+    input period ``ipx``, every step emits exactly (B/ipx)*p2 samples.
     """
     b = x.shape[1]
     n_frames = b // ipx
@@ -81,6 +78,20 @@ def _step_decim_fused(r_t, carry, x, ipx, wx, p2):
                    precision=lax.Precision.HIGHEST)
     y = y.reshape(x.shape[0], n_frames * p2)
     return data[:, b:], y, I32(n_frames * p2)
+
+
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'),
+         donate_argnames=('carry',))
+def _step_decim_fused(r_t, carry, x, ipx, wx, p2):
+    """Fused streaming decimation: banded frames-matmul per block.
+
+    carry holds the last T-1 input samples (zeros-init); every step emits
+    exactly (B/Ipx)*P outputs on the canonical grid
+    (window j = (0^{T-1} ++ stream)[j*M : j*M+T]), so no transient drop is
+    needed.  Replaces the strided convolution, which XLA:TPU lowers poorly
+    for long audio kernels.
+    """
+    return _fused_banded_step(r_t, carry, x, ipx, wx, p2)
 
 
 @partial(jax.jit, static_argnames=('factor', 'num_phases', 'taps', 'step_hi',
@@ -109,17 +120,7 @@ def _step_rational_fused(r_t, carry, x, ipx, wx, p2):
     convolution ramp; the wrapper drops them (same mechanism as the
     single-stage DFT topology).
     """
-    b = x.shape[1]
-    n_frames = b // ipx
-    data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)  # [S, C+B]
-    starts = lax.iota(jnp.int32, n_frames) * I32(ipx)
-    frames = stages.gather_windows(data, starts, wx)            # [S, F, Wx]
-    y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(x.dtype),
-                   preferred_element_type=x.dtype,
-                   precision=lax.Precision.HIGHEST)
-    y = y.reshape(x.shape[0], n_frames * p2)
-    new_carry = data[:, b:]
-    return new_carry, y, I32(n_frames * p2)
+    return _fused_banded_step(r_t, carry, x, ipx, wx, p2)
 
 
 class EngineCore:
@@ -137,6 +138,10 @@ class EngineCore:
       dtype:  compute dtype (float32 on TPU; float64 for parity runs on CPU)
     """
 
+    #: blocks per fused multi-block launch (lax.scan); amortizes the
+    #: per-call host->device latency ~8x for small-block streaming
+    SCAN_BLOCKS = 8
+
     def __init__(self, plan: EnginePlan, batch: int = 1, block: int = 2048,
                  dtype=jnp.float32):
         self.plan = plan
@@ -145,6 +150,7 @@ class EngineCore:
         self.dtype = jnp.dtype(dtype)
         self._build_constants()
         self._step = self._make_step()
+        self._scan_step = None   # built lazily on first multi-block call
         self.reset()
 
     # -- construction ------------------------------------------------------
@@ -232,6 +238,50 @@ class EngineCore:
                           hist_len=I32(0),
                           at_hi=I32(p.at0 >> 16), at_lo=I32(p.at0 & 0xFFFF)))
 
+    def core_fn(self):
+        """Pure per-topology step ``(state, x) -> (state', y, n)`` (unjitted).
+
+        Used by the sharded engine (parallel.ShardedEngineCore), which
+        wraps it in ``shard_map`` over a device mesh; the constants are
+        closed over and replicated.
+        """
+        p = self.plan
+        if p.kind == 'cubic':
+            step, cap = p.cubic_step, self.cubic_cap
+
+            def fn(state, x):
+                st, y, valid, n = stages.cubic_process(state, x, step, cap)
+                return st, y, n
+            return fn
+        if p.kind == 'dft_up':
+            if p.factor == 1:
+                return lambda state, x: (state, x, I32(x.shape[1]))
+            coeffs, f = self.pre_coeffs, p.factor
+
+            def fn(state, x):
+                st, u = stages.prestage_process(coeffs, state, x, f)
+                return st, u, I32(u.shape[1])
+            return fn
+        if p.kind == 'decimate':
+            rt, ipx, wx, p2 = (self._decim_rt, self._decim_ipx,
+                               self._decim_wx, self._decim_p2)
+            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2)
+        if self.rational_fused:
+            rt, ipx, wx, p2 = (self._rational_rt, self._rational_ipx,
+                               self._rational_wx, self._rational_p2)
+            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2)
+        coeffs, banks = self.pre_coeffs, self.banks
+        f, L, t2 = p.factor, p.num_phases, p.poly_taps
+        s_hi, s_lo, cap = p.step_hi, p.step_lo, self.poly_cap
+
+        def fn(state, x):
+            pre_state, poly_state = state
+            pre_state, u = stages.prestage_process(coeffs, pre_state, x, f)
+            poly_state, y, valid, n = stages.poly_process(
+                banks, poly_state, u, L, t2, s_hi, s_lo, cap)
+            return (pre_state, poly_state), y, n
+        return fn
+
     def _make_step(self):
         p = self.plan
         if p.kind == 'cubic':
@@ -256,12 +306,38 @@ class EngineCore:
             num_phases=p.num_phases, taps=p.poly_taps, step_hi=p.step_hi,
             step_lo=p.step_lo, cap=self.poly_cap)
 
+    def _scan_core(self):
+        """Multi-block step: lax.scan of core_fn over SCAN_BLOCKS blocks.
+
+        One device launch processes K blocks ([S, K, B] in,
+        ([K, S, cap], n[K]) out), so small-block streaming stops paying
+        the per-call dispatch/tunnel latency per block (VERDICT r1
+        item 6).  Semantically identical to K single-block steps.
+        """
+        core = self.core_fn()
+
+        def multi(state, xs):                     # xs [S, K, B]
+            def body(st, xb):
+                st, y, n = core(st, xb)
+                return st, (y, n)
+            state, (ys, ns) = lax.scan(body, state,
+                                       jnp.swapaxes(xs, 0, 1))
+            return state, ys, ns                  # [K, S, cap], [K]
+        return multi
+
+    def _make_scan(self):
+        return jax.jit(self._scan_core(), donate_argnums=0)
+
     # -- streaming API -----------------------------------------------------
 
     def reset(self):
         """Clear all streaming state (resampler.go:325-340)."""
         self.state = self._init_state()
-        self._pending = np.zeros((self.batch, 0), dtype=self.dtype)
+        # Input accumulator: the RingBuffer role of the reference pipeline
+        # (internal/pipeline/buffer.go:12-172) — amortized-growth FIFO so
+        # many small process() chunks do not re-copy the whole backlog.
+        self._pending = SampleFIFO(self.batch, capacity=2 * self.block,
+                                   dtype=self.dtype)
         self.samples_in = 0       # real input samples fed by the caller
         self.samples_out = 0      # canonical samples emitted to the caller
         self._core_emitted = 0    # core outputs seen (incl. transient prefix)
@@ -269,7 +345,8 @@ class EngineCore:
         if self._has_aa:
             self._aa_carry = jnp.zeros(
                 (self.batch, self.plan.aa_taps - 1), self.dtype)
-            self._aa_raw = np.zeros((self.batch, 0), dtype=self.dtype)
+            self._aa_raw = SampleFIFO(self.batch, capacity=2 * self.block,
+                                      dtype=self.dtype)
             self._aa_causal = 0      # causal FIR outputs produced so far
             self._aa_delivered = 0   # centered samples handed downstream
 
@@ -278,11 +355,11 @@ class EngineCore:
     def _aa_push(self, x: np.ndarray) -> np.ndarray:
         """Stream raw samples through the prefilter; return the centered
         (delay-compensated) filtered samples now available."""
-        self._aa_raw = np.concatenate([self._aa_raw, x], axis=1)
+        self._aa_raw.write(x)
         outs = []
-        while self._aa_raw.shape[1] >= self.block:
-            blk = jnp.asarray(self._aa_raw[:, :self.block], dtype=self.dtype)
-            self._aa_raw = self._aa_raw[:, self.block:]
+        while self._aa_raw.available() >= self.block:
+            blk = jnp.asarray(self._aa_raw.read(self.block),
+                              dtype=self.dtype)
             self._aa_carry, y = _step_fir(self._aa_coeffs, self._aa_carry,
                                           blk)
             outs.append(np.asarray(y))
@@ -300,9 +377,9 @@ class EngineCore:
         remaining = self.samples_in - self._aa_delivered
         if remaining <= 0:
             return np.zeros((self.batch, 0), dtype=self.dtype)
-        total = self._aa_raw.shape[1] + self._aa_delay
+        total = self._aa_raw.available() + self._aa_delay
         zpad = _ceil_div(total, self.block) * self.block \
-            - self._aa_raw.shape[1]
+            - self._aa_raw.available()
         out = self._aa_push(np.zeros((self.batch, zpad), dtype=self.dtype))
         out = out[:, :remaining]
         self._aa_delivered = self.samples_in
@@ -348,12 +425,24 @@ class EngineCore:
         self.samples_in += x.shape[1]
         if self._has_aa:
             x = self._aa_push(x)
-        self._pending = np.concatenate([self._pending, x], axis=1)
+        self._pending.write(x)
         outs = []
-        while self._pending.shape[1] >= self.block:
-            blk = self._pending[:, :self.block]
-            self._pending = self._pending[:, self.block:]
-            outs.append(self._emit(self._run_block(blk), None))
+        k_scan = self.SCAN_BLOCKS
+        while self._pending.available() >= self.block:
+            if self._pending.available() >= k_scan * self.block:
+                xs = self._pending.read(k_scan * self.block) \
+                    .reshape(self.batch, k_scan, self.block)
+                if self._scan_step is None:
+                    self._scan_step = self._make_scan()
+                self.state, ys, ns = self._scan_step(
+                    self.state, jnp.asarray(xs, dtype=self.dtype))
+                ys = np.asarray(ys)
+                ns = np.asarray(ns)
+                for k in range(k_scan):
+                    outs.append(self._emit(ys[k][:, :int(ns[k])], None))
+            else:
+                blk = self._pending.read(self.block)
+                outs.append(self._emit(self._run_block(blk), None))
         if outs:
             return np.concatenate(outs, axis=1)
         return np.zeros((self.batch, 0), dtype=self.dtype)
@@ -372,11 +461,10 @@ class EngineCore:
             # Complete the prefiltered stream to exactly samples_in samples
             # (the core's flush zeros below are then appended to it, same
             # as the one-shot path).
-            self._pending = np.concatenate(
-                [self._pending, self._aa_drain()], axis=1)
+            self._pending.write(self._aa_drain())
         lm = self.plan.lengths
         canonical_total = lm.canonical(self.samples_in) + 0
-        rem = self._pending.shape[1]
+        rem = self._pending.available()
         z = lm.flush_pad(self.samples_in) if self.samples_in > 0 else 0
         # Feed remainder + z zeros, rounded up to whole blocks (extra zeros
         # only produce post-canonical samples, which the limit trims).
@@ -384,8 +472,7 @@ class EngineCore:
         n_blocks = _ceil_div(total_tail, self.block) if total_tail else 0
         tail = np.zeros((self.batch, n_blocks * self.block), dtype=self.dtype)
         if rem:
-            tail[:, :rem] = self._pending
-        self._pending = np.zeros((self.batch, 0), dtype=self.dtype)
+            tail[:, :rem] = self._pending.read_all()
         outs = []
         for i in range(n_blocks):
             blk = tail[:, i * self.block:(i + 1) * self.block]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..engine import plan_engine
+from ..engine import plan_engine, EngineCore
 from ..engine.oneshot import _oneshot_jit
 from ..engine import stages
 
@@ -179,6 +179,71 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
         return (new_pre, stages.PolyState(*poly_tuple)), y, n, peak
 
     return init_state, step_fn, block
+
+
+class ShardedEngineCore(EngineCore):
+    """EngineCore whose device step runs under ``shard_map`` over a mesh.
+
+    Full streaming semantics — all four topologies, strict-antialias
+    prefilter, transient drop, canonical trim and flush — with the stream
+    batch sharded across devices.  The per-device program is identical to
+    the single-chip step (pure data parallelism; no collectives), so the
+    emitted sample stream is bit-identical to a serial EngineCore with the
+    same plan/block/dtype.
+
+    ``batch_per_device`` streams live on each of the mesh's devices; the
+    total batch is ``batch_per_device * mesh.size``.
+    """
+
+    def __init__(self, plan, mesh: Mesh, batch_per_device: int = 1,
+                 block: int = 2048, dtype=jnp.float32):
+        self.mesh = mesh
+        super().__init__(plan, batch=batch_per_device * mesh.devices.size,
+                         block=block, dtype=dtype)
+
+    def _spec_of(self, tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: P(STREAM_AXIS, None)
+            if jnp.asarray(leaf).ndim >= 2 else P(), tree)
+
+    def _init_state(self):
+        state = super()._init_state()
+        shard = NamedSharding(self.mesh, P(STREAM_AXIS, None))
+        rep = NamedSharding(self.mesh, P())
+
+        def place(leaf):
+            leaf = jnp.asarray(leaf)
+            return jax.device_put(leaf, shard if leaf.ndim >= 2 else rep)
+        return jax.tree_util.tree_map(place, state)
+
+    def reset(self):
+        super().reset()
+        if self._has_aa:
+            # the FIR carry rides GSPMD sharding (no shard_map needed for
+            # a pure batch-parallel convolution)
+            self._aa_carry = jax.device_put(
+                self._aa_carry,
+                NamedSharding(self.mesh, P(STREAM_AXIS, None)))
+
+    def _make_step(self):
+        inner = self.core_fn()
+        state_spec = self._spec_of(super()._init_state())
+        fn = shard_map(inner, mesh=self.mesh,
+                       in_specs=(state_spec, P(STREAM_AXIS, None)),
+                       out_specs=(state_spec, P(STREAM_AXIS, None), P()),
+                       check_vma=False)
+        return jax.jit(fn, donate_argnums=0)
+
+    def _make_scan(self):
+        multi = self._scan_core()
+        state_spec = self._spec_of(
+            EngineCore._init_state(self))
+        fn = shard_map(multi, mesh=self.mesh,
+                       in_specs=(state_spec, P(STREAM_AXIS, None, None)),
+                       out_specs=(state_spec, P(None, STREAM_AXIS, None),
+                                  P(None)),
+                       check_vma=False)
+        return jax.jit(fn, donate_argnums=0)
 
 
 def global_stream_stats(x, mesh: Mesh):

@@ -88,6 +88,10 @@ class SampleFIFO:
             self._start = 0
         return n
 
+    def snapshot(self) -> np.ndarray:
+        """Non-consuming copy of the queued frames (for checkpointing)."""
+        return self._peek(self._len).copy()
+
     def reset(self) -> None:
         self._start = 0
         self._len = 0

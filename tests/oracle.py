@@ -28,6 +28,8 @@ class OracleDFTUp:
         self.hist = np.zeros(0)
 
     def process(self, x: np.ndarray) -> np.ndarray:
+        if self.factor == 1:
+            return x  # unity ratio: pass-through (dft_stage.go:57-59)
         if len(x) == 0:
             return np.zeros(0)
         self.hist = np.concatenate([self.hist, x])
@@ -43,7 +45,7 @@ class OracleDFTUp:
         return out
 
     def flush(self) -> np.ndarray:
-        if len(self.hist) == 0:
+        if self.factor == 1 or len(self.hist) == 0:
             return np.zeros(0)
         return self.process(np.zeros(self.taps))
 

@@ -168,6 +168,19 @@ class TestStreamingVsOneshot:
             else:
                 np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
 
+    @pytest.mark.parametrize("inr,outr,q,kind", TOPOLOGIES)
+    def test_scan_multiblock_path(self, inr, outr, q, kind):
+        # A single large process() call takes the lax.scan multi-block
+        # launch (EngineCore.SCAN_BLOCKS); stream must stay canonical.
+        plan = plan_engine(inr, outr, q)
+        n = 6000   # > SCAN_BLOCKS * block -> scan path + remainder + flush
+        x = signal(n, rate=inr)
+        expect = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        got = np.concatenate([eng.process(x)[0], eng.flush()[0]])
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-12)
+
     def test_reset_reproducible(self):
         plan = plan_engine(44100, 48000, Quality.HIGH)
         x = signal(1000, rate=44100)

@@ -31,17 +31,16 @@ def resample(x, inr, outr, q=Quality.VERY_HIGH):
 
 
 class TestTHDGoldenParity:
-    # (key, in, out, tolerance dB above golden). 48k->96k and 96k->48k use
-    # different architectures than libsoxr's (single DFT stage), where the
-    # Go reference also lands far from the capture for 48k->96k
-    # (soxr -142.8; single-stage filtered paths measure differently).
+    # (key, in, out, freq, tolerance dB above golden).  Measured deltas vs
+    # the captures are within +0.6 dB (several cases BEAT the capture by
+    # 6-12 dB); every tolerance is 1.0 dB.
     CASES = [
         ("thd_44100_48000_1000", 44100, 48000, 1000.0, 1.0),
         ("thd_48000_44100_1000", 48000, 44100, 1000.0, 1.0),
-        ("thd_96000_48000_1000", 96000, 48000, 1000.0, 10.0),
-        ("thd_48000_32000_1000", 48000, 32000, 1000.0, 10.0),
-        ("thd_44100_48000_10000", 44100, 48000, 10000.0, 10.0),
-        ("thd_48000_44100_10000", 48000, 44100, 10000.0, 10.0),
+        ("thd_96000_48000_1000", 96000, 48000, 1000.0, 1.0),
+        ("thd_48000_32000_1000", 48000, 32000, 1000.0, 1.0),
+        ("thd_44100_48000_10000", 44100, 48000, 10000.0, 1.0),
+        ("thd_48000_44100_10000", 48000, 44100, 10000.0, 1.0),
     ]
 
     @pytest.mark.parametrize("key,inr,outr,freq,tol", CASES)

@@ -103,6 +103,73 @@ class TestShardedStreamingGeneralPath:
         np.testing.assert_allclose(got[:, :m2], ref[:, :m2], atol=2e-4)
 
 
+class TestShardedEngineCore:
+    """Full sharded streaming engine: every topology must reproduce the
+    serial EngineCore's stream (VERDICT r1 item 5)."""
+
+    CASES = [
+        (44100, 48000, Quality.HIGH, False),    # two_stage exact-rational
+        (48000, 44100, Quality.HIGH, False),    # two_stage frac-down
+        (48000, 96000, Quality.HIGH, False),    # dft_up
+        (96000, 48000, Quality.HIGH, False),    # decimate
+        (44100, 48000, Quality.QUICK, False),   # cubic
+        (1000, 199500, Quality.LOW, False),     # general path (clamped)
+        (48000, 44100, Quality.HIGH, True),     # strict-aa prefilter
+    ]
+
+    @pytest.mark.parametrize("inr,outr,q,strict", CASES)
+    def test_matches_serial_engine(self, mesh, inr, outr, q, strict):
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(inr, outr, q, strict)
+        x = np.random.default_rng(11).standard_normal((8, 3000))
+        sharded = parallel.ShardedEngineCore(plan, mesh, batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        got = np.concatenate([sharded.process(x), sharded.flush()], axis=1)
+        serial = EngineCore(plan, batch=8, block=512, dtype=np.float64)
+        ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+    def test_chunked_streaming_and_reset(self, mesh):
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        x = np.random.default_rng(12).standard_normal((8, 2500))
+        sharded = parallel.ShardedEngineCore(plan, mesh, batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        got = np.concatenate([sharded.process(x[:, :700]),
+                              sharded.process(x[:, 700:703]),
+                              sharded.process(x[:, 703:]),
+                              sharded.flush()], axis=1)
+        serial = EngineCore(plan, batch=8, block=512, dtype=np.float64)
+        ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+        sharded.reset()
+        again = np.concatenate([sharded.process(x), sharded.flush()], axis=1)
+        np.testing.assert_allclose(again, ref, rtol=0, atol=1e-12)
+
+    def test_scan_multiblock_path(self, mesh):
+        # one large call (> SCAN_BLOCKS * block) takes the sharded
+        # lax.scan multi-block launch
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        x = np.random.default_rng(13).standard_normal((8, 9000))
+        sharded = parallel.ShardedEngineCore(plan, mesh, batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        got = np.concatenate([sharded.process(x), sharded.flush()], axis=1)
+        serial = EngineCore(plan, batch=8, block=512, dtype=np.float64)
+        ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+    def test_state_stays_sharded(self, mesh):
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        sharded = parallel.ShardedEngineCore(plan, mesh, batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        sharded.process(np.zeros((8, 512)))
+        leaves = jax.tree_util.tree_leaves(sharded.state)
+        wide = [l for l in leaves if getattr(l, 'ndim', 0) >= 2]
+        assert wide and all(len(l.sharding.device_set) == 8 for l in wide)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import __graft_entry__ as ge

@@ -63,3 +63,45 @@ def test_random_config_invariants(seed):
     assert ref.shape == expect.shape
     np.testing.assert_allclose(ref, expect, rtol=1e-9, atol=1e-12,
                                err_msg=f"{inr}->{outr} q={q} oracle")
+
+
+# Ratio-extreme sweep: the full valid range [1/256, 256] including the
+# clamp boundaries and awkward near-integer / near-boundary ratios
+# (fuzz_test.go's ratio dimension, widened per VERDICT r1).
+EXTREME_RATIOS = [
+    (1.0, 256.0), (256.0, 1.0),              # exact clamp boundaries
+    (1000.0, 255999.0), (255999.0, 1000.0),  # just inside the clamps
+    (1000.0, 1001.0), (1001.0, 1000.0),      # barely off unity
+    (1000.0, 2001.0), (2001.0, 1000.0),      # barely off integer 2x
+    (44100.0, 44100.0),                      # exact unity
+    (7.0, 1792.0), (1792.0, 7.0),            # integer 256x via odd rates
+]
+
+
+@pytest.mark.parametrize("inr,outr", EXTREME_RATIOS)
+@pytest.mark.parametrize("q", [Quality.QUICK, Quality.LOW, Quality.HIGH])
+def test_ratio_extremes_vs_oracle(inr, outr, q):
+    rng = np.random.default_rng(int(inr * 7 + outr))
+    n = 300 if outr / inr > 64 else 1200
+    x = rng.normal(size=n) * 0.5
+    plan = plan_engine(inr, outr, q)
+    ref = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+    expect = oracle_oneshot(plan, x)
+    assert ref.shape == expect.shape, (inr, outr, q)
+    np.testing.assert_allclose(ref, expect, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("inr,outr", [(1.0, 256.0), (256.0, 1.0),
+                                      (1000.0, 255999.0)])
+def test_ratio_extremes_streaming(inr, outr):
+    # streaming must also hold at the clamp boundaries (the int32 walk
+    # clamps are exercised hardest here)
+    rng = np.random.default_rng(3)
+    n = 700
+    x = rng.normal(size=n) * 0.5
+    plan = plan_engine(inr, outr, Quality.LOW)
+    ref = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+    eng = EngineCore(plan, batch=1, block=2048, dtype=np.float64)
+    got = np.concatenate([eng.process(x)[0], eng.flush()[0]])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)

@@ -38,6 +38,47 @@ class TestQualityLadder:
         # High must be at least Low's class (allow small measurement slack)
         assert thd_high <= thd_low + 5
 
+    # Full preset x ratio THD matrix at 1 kHz (quality_comparison_test.go
+    # analog).  Floors = measured values minus ~6 dB margin; the 44.1<->48
+    # column reproduces the reference's README table (-142.3 Low,
+    # -129.8 Medium, -155.6 High, -162.2 VHQ) to the decimal.
+    THD_MATRIX = {
+        (44100, 48000): {Quality.QUICK: -146, Quality.LOW: -136,
+                         Quality.MEDIUM: -123, Quality.HIGH: -149,
+                         Quality.VERY_HIGH: -156},
+        (48000, 44100): {Quality.QUICK: -145, Quality.LOW: -136,
+                         Quality.MEDIUM: -144, Quality.HIGH: -157,
+                         Quality.VERY_HIGH: -156},
+        (32000, 48000): {Quality.QUICK: -156, Quality.LOW: -155,
+                         Quality.MEDIUM: -155, Quality.HIGH: -156,
+                         Quality.VERY_HIGH: -156},
+        (48000, 32000): {Quality.QUICK: -187, Quality.LOW: -187,
+                         Quality.MEDIUM: -187, Quality.HIGH: -187,
+                         Quality.VERY_HIGH: -186},
+        (96000, 48000): {Quality.QUICK: -156, Quality.LOW: -155,
+                         Quality.MEDIUM: -156, Quality.HIGH: -156,
+                         Quality.VERY_HIGH: -156},
+        (48000, 96000): {Quality.QUICK: -136, Quality.LOW: -136,
+                         Quality.MEDIUM: -136, Quality.HIGH: -136,
+                         Quality.VERY_HIGH: -137},
+        (22050, 48000): {Quality.QUICK: -134, Quality.LOW: -133,
+                         Quality.MEDIUM: -141, Quality.HIGH: -155,
+                         Quality.VERY_HIGH: -155},
+        (44100, 96000): {Quality.QUICK: -137, Quality.LOW: -133,
+                         Quality.MEDIUM: -135, Quality.HIGH: -136,
+                         Quality.VERY_HIGH: -137},
+    }
+
+    @pytest.mark.parametrize("inr,outr", sorted(THD_MATRIX))
+    @pytest.mark.parametrize("q", [Quality.QUICK, Quality.LOW,
+                                   Quality.MEDIUM, Quality.HIGH,
+                                   Quality.VERY_HIGH])
+    def test_thd_matrix(self, inr, outr, q):
+        val = thd_for(q, 1000.0, inr, outr)
+        floor = self.THD_MATRIX[(inr, outr)][q]
+        assert val <= floor, \
+            f"{q.name} {inr}->{outr}: THD {val:.1f} dB above floor {floor}"
+
     def test_filter_size_grows_with_quality(self):
         taps = [plan_engine(44100, 48000, q).filter_length()
                 for q in (Quality.LOW, Quality.HIGH, Quality.VERY_HIGH)]
