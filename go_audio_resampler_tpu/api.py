@@ -208,6 +208,53 @@ def precision_to_engine_quality(precision: int) -> EngineQuality:
     return EngineQuality.BITS_32
 
 
+class StubEngine:
+    """Nearest-neighbor fallback stage (stages.go:122-189 ``stubStage``).
+
+    Used only when a polyphase sub-engine cannot be constructed for a
+    stage's ratio; resamples by index mapping with no filtering.  Matches
+    the reference contract: pass-through ratio adjustment, empty flush,
+    zero state.
+    """
+
+    def __init__(self, ratio: float, batch: int, dtype):
+        self.ratio = float(ratio)
+        self.batch = batch
+        self.dtype = np.dtype(dtype)
+        self.samples_in = 0
+        self.samples_out = 0
+
+    def process(self, frames: np.ndarray) -> np.ndarray:
+        n = frames.shape[1]
+        self.samples_in += n
+        out_n = int(n * self.ratio)
+        if out_n == 0 or n == 0:
+            return np.zeros((frames.shape[0], 0), dtype=self.dtype)
+        src = np.minimum((np.arange(out_n) / self.ratio).astype(np.int64),
+                         n - 1)
+        self.samples_out += out_n
+        return np.ascontiguousarray(frames[:, src], dtype=self.dtype)
+
+    def flush(self) -> np.ndarray:
+        return np.zeros((self.batch, 0), dtype=self.dtype)
+
+    def reset(self) -> None:
+        self.samples_in = 0
+        self.samples_out = 0
+
+    def get_ratio(self) -> float:
+        return self.ratio
+
+    def get_latency(self) -> int:
+        return 0
+
+    def estimate_output(self, n: int) -> int:
+        return int(n * self.ratio) + 1
+
+    def get_statistics(self) -> dict:
+        return {"samplesIn": self.samples_in, "samplesOut": self.samples_out}
+
+
 def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
                   strict_antialias: bool = False):
     """Create the sub-engine realizing a StageSpec (stages.go:21-119).
@@ -215,13 +262,18 @@ def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
     Half-band stages are polyphase engines with factor 2 (stages.go:31-44);
     the FFT stage delegates to polyphase (stages.go:114-119); reference
     rates are 48000-based — only the ratio matters (stages.go:59-62).
+    If the engine cannot be planned for this ratio, fall back to the
+    nearest-neighbor StubEngine (stages.go:36-43).
     """
     if spec.type == StageType.CUBIC:
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, EngineQuality.QUICK)
-    else:
-        q = precision_to_engine_quality(spec.quality)
+        return EngineCore(plan, batch=channels, block=block, dtype=dtype)
+    q = precision_to_engine_quality(spec.quality)
+    try:
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, q,
                            strict_antialias)
+    except (ValueError, ZeroDivisionError):
+        return StubEngine(spec.ratio, channels, dtype)
     return EngineCore(plan, batch=channels, block=block, dtype=dtype)
 
 
@@ -261,6 +313,7 @@ class Resampler:
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False
+        self._entry_mode: str | None = None  # 'mono' | 'multi' guard
         self._out_queue = np.zeros((self.config.channels, 0),
                                    dtype=self.dtype)
 
@@ -277,8 +330,23 @@ class Resampler:
         if self._flushed:
             raise ResamplerError("resampler already flushed; call reset()")
 
+    def _enter(self, mode: str):
+        """Forbid interleaving mono broadcast and per-channel streams.
+
+        With channels > 1 the mono path broadcasts to every lane, so mixing
+        it with ``process_multi`` would silently corrupt all channels (the
+        reference advances only channel 0's chain); raise instead."""
+        if self.config.channels > 1:
+            if self._entry_mode is not None and self._entry_mode != mode:
+                raise ResamplerError(
+                    f"cannot mix process ({mode!r}) with prior "
+                    f"{self._entry_mode!r} calls on a multi-channel "
+                    "resampler; call reset() first")
+            self._entry_mode = mode
+
     def _process_raw(self, x: np.ndarray) -> np.ndarray:
         self._check_not_flushed()
+        self._enter('mono')
         if x.ndim != 1:
             raise InvalidConfigError("process expects a 1-D mono array")
         self.samples_in += len(x)
@@ -291,8 +359,10 @@ class Resampler:
         On a multi-channel resampler the input is broadcast to every
         channel and channel 0 is returned (documented deviation: the
         reference advances only channel 0's chain; batched state advances
-        all lanes together — do not interleave ``process`` and
-        ``process_multi`` with different per-channel content).
+        all lanes together).  Interleaving ``process`` and
+        ``process_multi`` on a multi-channel resampler raises
+        :class:`ResamplerError` — the mix would silently corrupt every
+        channel's stream.
         """
         x = np.asarray(x, dtype=self.dtype)
         out = self._take(self._process_raw(x), None)
@@ -308,6 +378,7 @@ class Resampler:
         """Process all channels batched on one device program
         (constant.go:204-253; replaces goroutine-per-channel)."""
         self._check_not_flushed()
+        self._enter('multi')
         arrs = [np.asarray(c, dtype=self.dtype) for c in channels]
         if len(arrs) != self.config.channels:
             raise InvalidConfigError(
@@ -406,6 +477,7 @@ class Resampler:
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False
+        self._entry_mode = None
         self._out_queue = np.zeros((self.config.channels, 0),
                                    dtype=self.dtype)
 

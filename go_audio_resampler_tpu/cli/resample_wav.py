@@ -24,6 +24,30 @@ import time
 import numpy as np
 
 CHUNK_FRAMES = 65536  # streaming chunk size (main.go:38)
+BATCH_GROUP_BYTES = 512 << 20  # cap on one padded batch-mode device matrix
+
+
+def _flush_group(sub, plan, channels, args, outdir, WavWriter):
+    """Resample one padded sub-batch and write each member's output."""
+    import pathlib
+
+    from ..engine import oneshot
+
+    n_max = max(d.shape[0] for _, _, d in sub)
+    batch = np.zeros((len(sub) * channels, n_max), np.float32)
+    for i, (_, _, d) in enumerate(sub):
+        batch[i * channels:(i + 1) * channels, :d.shape[0]] = d.T
+    y = np.asarray(oneshot(plan, batch, dtype=np.float32))
+    for i, (path, bits, d) in enumerate(sub):
+        count = plan.lengths.canonical(d.shape[0])
+        out = y[i * channels:(i + 1) * channels, :count].T
+        dest = outdir / pathlib.Path(path).name
+        w = WavWriter(dest, int(args.rate), channels,
+                      args.bits or (bits if bits in (16, 24, 32) else 16))
+        w.write(out)
+        w.close()
+        if args.v:
+            print(f"  {path} -> {dest} ({d.shape[0]} -> {count} frames)")
 
 _QUALITY_NAMES = {
     "quick": 0, "low": 1, "medium": 2, "high": 3, "veryhigh": 4,
@@ -74,7 +98,7 @@ def run_batch(args, preset) -> int:
     import numpy as np
 
     from ..convenience import preset_to_engine_quality
-    from ..engine import plan_engine, oneshot
+    from ..engine import plan_engine
     from ..utils.wav import WavReader, WavWriter
 
     outdir = pathlib.Path(args.outdir)
@@ -109,25 +133,22 @@ def run_batch(args, preset) -> int:
     for (rate, channels), members in groups.items():
         plan = plan_engine(float(rate), float(args.rate),
                            preset_to_engine_quality(preset))
-        n_max = max(d.shape[0] for _, _, d in members)
-        lanes = []
-        for _, _, d in members:
-            padded = np.zeros((channels, n_max), np.float32)
-            padded[:, :d.shape[0]] = d.T
-            lanes.append(padded)
-        batch = np.concatenate(lanes, axis=0)         # [files*ch, n_max]
-        y = np.asarray(oneshot(plan, batch, dtype=np.float32))
-        for i, (path, bits, d) in enumerate(members):
-            count = plan.lengths.canonical(d.shape[0])
-            out = y[i * channels:(i + 1) * channels, :count].T
-            dest = outdir / pathlib.Path(path).name
-            w = WavWriter(dest, int(args.rate), channels,
-                          args.bits or (bits if bits in (16, 24, 32) else 16))
-            w.write(out)
-            w.close()
-            total_frames += d.shape[0]
-            if args.v:
-                print(f"  {path} -> {dest} ({d.shape[0]} -> {count} frames)")
+        # Length-sorted sub-batches under a fixed byte cap: padding is to
+        # the sub-batch's longest member only, so one short clip next to a
+        # long one no longer costs O(longest x files) memory.
+        members = sorted(members, key=lambda m: m[2].shape[0])
+        sub: list = []
+        for member in members:
+            n_max = max(member[2].shape[0],
+                        sub[-1][2].shape[0] if sub else 0)
+            if sub and (len(sub) + 1) * channels * n_max * 4 \
+                    > BATCH_GROUP_BYTES:
+                _flush_group(sub, plan, channels, args, outdir, WavWriter)
+                sub = []
+            sub.append(member)
+        if sub:
+            _flush_group(sub, plan, channels, args, outdir, WavWriter)
+        total_frames += sum(d.shape[0] for _, _, d in members)
     elapsed = time.perf_counter() - t0
     print(f"batch: {len(files)} file(s), {total_frames} frames in "
           f"{elapsed:.2f} s")

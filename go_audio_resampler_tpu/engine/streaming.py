@@ -447,6 +447,29 @@ class EngineCore:
             return np.concatenate(outs, axis=1)
         return np.zeros((self.batch, 0), dtype=self.dtype)
 
+    def _flush_extra_limit(self) -> int:
+        """Max extra zero blocks flush may legally need (exact holdback).
+
+        Per topology, the core's internal history bounds how much input it
+        can hold back without emitting: the banded carries for the fused
+        rational/decimate steps, ``hist_size`` for the general poly walk,
+        the prestage carry for DFT up, and the 3-sample window for cubic;
+        plus the strict-antialias prefilter's group delay when present."""
+        p = self.plan
+        if p.kind == 'cubic':
+            hold = 4
+        elif p.kind == 'dft_up':
+            hold = max(p.pre_taps - 1, 0)
+        elif p.kind == 'decimate':
+            hold = self._decim_carry + self._decim_wx
+        elif self.rational_fused:
+            hold = self._rational_carry + self._rational_wx
+        else:
+            hold = self.hist_size
+        if self._has_aa:
+            hold += 2 * self._aa_delay
+        return _ceil_div(hold, self.block) + 2
+
     def flush(self) -> np.ndarray:
         """Drain all stage tails; returns the remaining canonical samples.
 
@@ -477,19 +500,23 @@ class EngineCore:
         for i in range(n_blocks):
             blk = tail[:, i * self.block:(i + 1) * self.block]
             outs.append(self._emit(self._run_block(blk), canonical_total))
-        # Safety: some cores (e.g. the fused-rational step with its
-        # block-granular emission) may need extra zero blocks to reach the
-        # canonical count; feed until covered.
-        guard = 0
+        # Some cores (e.g. the fused-rational step with its block-granular
+        # emission) need a few extra zero blocks to reach the canonical
+        # count.  The bound is exact: the core can hold back at most its
+        # internal history (per-topology, in input samples), so anything
+        # beyond ceil(holdback/block)+2 blocks is a length-model bug —
+        # fail loudly instead of absorbing it.
+        guard, limit = 0, self._flush_extra_limit()
         while self.samples_out < canonical_total:
             zeros_blk = np.zeros((self.batch, self.block), dtype=self.dtype)
             outs.append(self._emit(self._run_block(zeros_blk),
                                    canonical_total))
             guard += 1
-            if guard > 1000:
+            if guard > limit:
                 raise AssertionError(
                     "internal: flush under-produced "
-                    f"({self.samples_out} < {canonical_total})")
+                    f"({self.samples_out} < {canonical_total}) after "
+                    f"{guard} extra blocks (limit {limit})")
         if outs:
             out = np.concatenate(outs, axis=1)
         else:

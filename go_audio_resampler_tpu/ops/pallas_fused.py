@@ -1,27 +1,34 @@
-"""Pallas TPU kernel: fused rational resampling with VMEM frame assembly.
+"""Pallas TPU kernel: fused rational resampling with on-chip DMA framing.
 
 The XLA fused path (engine/oneshot._poly_apply_rational_fused) materializes
 overlapping input frames in HBM (a ~2.4x read amplification for CD->DAT)
-before the MXU matmul.  This kernel assembles the overlapping frames
-on-chip instead, cutting HBM traffic to ~one read of x (plus a small
-tile-tail sideband and a host-side relayout) and one write of y.
+before the MXU matmul.  This kernel keeps ``x`` resident in HBM and fetches
+each (stream-tile, frame-tile) window straight into VMEM with a sliced
+async copy — overlapping windows are free because consecutive fetches
+simply re-read the small inter-tile overlap (~8% for CD->DAT).  Total HBM
+traffic: ~1.08 reads of x and one write of y, with **no host-side
+relayout** (the round-1 kernel pre-tiled x into aligned blocks plus a tail
+sideband, which cost two extra passes over x and lost the end-to-end A/B).
 
-Mosaic constraints honored (the axon remote compiler rejects dynamic-start
-slices, and block/last-two-dims must be (8,128)-aligned or full):
+Mosaic constraints honored: DMA descriptors accept dynamic starts, but the
+lane-dim start must be provably 128-divisible — the window start j*TF*Ipx
+is generally not, so each fetch starts at the 128-aligned floor and the
+(dynamic, <128) residual offset is removed on-chip with one
+``pltpu.roll`` pass (tpu.dynamic_rotate; the shift is passed as the
+POSITIVE ``fetch - off`` — negative dynamic shifts silently wrap modulo
+256 on multi-vreg rows).  Every VMEM vector slice has a Python-constant
+start, frame reads are WX_PAD wide (junk tail columns are nulled by zero
+rows in the padded matrix R), and the output block is one full-width
+store.
 
-- input is relaid host-side to [n_tiles, S, TF*Ipx] so BlockSpec delivers
-  aligned, NON-overlapping tiles (last dim full);
-- the inter-tile overlap is a precomputed [n_tiles, S, tail_pad] sideband;
-- every kernel slice has a Python-constant start and full width: frame
-  reads are WX_PAD wide (junk tail columns are nulled by zero rows in the
-  padded matrix R), and the output block is written in one full-width
-  store after an on-chip relayout.
-
-Per grid step (i = stream tile, j = frame tile):
-  xv = concat(x_tile[TS, TF*Ipx], tail[TS, tail_pad])         (VMEM scratch)
-  frames[f*TS:(f+1)*TS, :] = xv[:, f*Ipx : f*Ipx + WX_PAD]    (static)
-  out = frames @ R_pad                   (MXU [TS*TF, WX_PAD] x [WX_PAD, P2])
-  y_tile = relayout(out)  ->  y_ref[:, :] = y_tile            (full store)
+Per grid step (i = stream tile, j = frame tile; j innermost, two-slot
+double buffer so the next window's DMA rides under the current matmul):
+  start DMA  x[i*TS : , align128((j+1)*TF*Ipx) : +FETCH] -> raw[(j+1)%2]
+  wait  DMA  raw[j % 2]                                   (issued at j-1)
+  xv = roll(raw[j % 2], FETCH - off)        (off = window start - aligned)
+  frames[f*TS:(f+1)*TS, :] = xv[:, f*Ipx : f*Ipx + WX_PAD]     (static)
+  out = frames @ R_pad              (MXU [TS*TF, WX_PAD] x [WX_PAD, P2])
+  y_tile = relayout(out)  ->  y_ref[:, :] = y_tile          (full store)
 """
 
 from __future__ import annotations
@@ -29,7 +36,6 @@ from __future__ import annotations
 import functools
 import math
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -49,12 +55,34 @@ def frame_tile_for(p2: int) -> int:
     return tf0 * max(1, -(-16 // tf0))
 
 
-def _kernel(x_ref, tail_ref, r_ref, y_ref, xv_ref, frames_ref, *,
+def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
             ipx: int, wx_pad: int, p2: int, tf: int, tile_in: int,
-            tail_pad: int):
+            fetch: int):
     ts = STREAM_TILE
-    xv_ref[:, :tile_in] = x_ref[0, :, :]
-    xv_ref[:, tile_in:tile_in + tail_pad] = tail_ref[0, :, :]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    def copy_in(jj, slot):
+        aligned = jj * tile_in // 128 * 128
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * ts, ts), pl.ds(aligned, fetch)],
+            raw_ref.at[slot], sem.at[slot])
+
+    # Warm-up: the first window of this stream tile has no j-1 issuer.
+    @pl.when(j == 0)
+    def _():
+        copy_in(0, 0).start()
+
+    # Prefetch the next window under this step's compute (double buffer).
+    @pl.when(j + 1 < nj)
+    def _():
+        copy_in(j + 1, (j + 1) % 2).start()
+
+    copy_in(j, j % 2).wait()
+    # Remove the (dynamic) sub-128 alignment residual on-chip.
+    off = j * tile_in - (j * tile_in // 128 * 128)
+    xv_ref[:, :] = pltpu.roll(raw_ref[j % 2], fetch - off, 1)
     for f in range(tf):
         frames_ref[f * ts:(f + 1) * ts, :] = (
             xv_ref[:, f * ipx:f * ipx + wx_pad])
@@ -83,33 +111,25 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
     n_tiles = n // tile_in
     assert n_tiles >= 1
     wx_pad = _round_up(wx, 128)
-    # xv must cover the last frame's padded read: (tf-1)*ipx + wx_pad
+    # xv must cover the last frame's padded read ((tf-1)*ipx + wx_pad) plus
+    # the sub-128 alignment residual the roll removes.
     xv_len = _round_up(max(tile_in + 128, (tf - 1) * ipx + wx_pad), 128)
-    tail_pad = xv_len - tile_in
-
-    # Host/XLA relayouts: aligned main tiles + overlap sideband.
-    xp = jnp.pad(x, ((0, 0), (0, tile_in + tail_pad)))
-    x_main = jnp.transpose(
-        xp[:, :n_tiles * tile_in].reshape(s, n_tiles, tile_in),
-        (1, 0, 2))                              # [n_tiles, S, tile_in]
-    starts = (np.arange(n_tiles, dtype=np.int64) + 1) * tile_in
-    idx = jnp.asarray(starts[:, None] + np.arange(tail_pad)[None, :],
-                      dtype=jnp.int32)
-    tails = jnp.transpose(jnp.take(xp, idx, axis=1),
-                          (1, 0, 2))            # [n_tiles, S, tail_pad]
+    fetch = xv_len + 128
+    # x must cover the last window's aligned DMA, which starts at or before
+    # (n_tiles-1)*tile_in and reads ``fetch`` columns.
+    xlen = (n_tiles - 1) * tile_in + fetch
+    if n < xlen:
+        x = jnp.pad(x, ((0, 0), (0, xlen - n)))
     r_pad = jnp.zeros((wx_pad, p2), jnp.float32).at[:wx, :].set(
         r_t.astype(jnp.float32))
 
     kernel = functools.partial(_kernel, ipx=ipx, wx_pad=wx_pad, p2=p2,
-                               tf=tf, tile_in=tile_in, tail_pad=tail_pad)
+                               tf=tf, tile_in=tile_in, fetch=fetch)
     y3 = pl.pallas_call(
         kernel,
         grid=(s // ts, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, ts, tile_in), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts, tail_pad), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((wx_pad, p2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -117,10 +137,12 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s, n_tiles * tf, p2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ts, xv_len), jnp.float32),
+            pltpu.VMEM((2, ts, fetch), jnp.float32),
+            pltpu.VMEM((ts, fetch), jnp.float32),
             pltpu.VMEM((ts * tf, wx_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x_main, tails, r_pad)
+    )(x[:, :xlen], r_pad)
     # Row-major [S, NF, P2] -> [S, NF*P2] is a contiguous (free) reshape.
     return y3.reshape(s, n_tiles * tf * p2)

@@ -190,6 +190,41 @@ class TestResamplerPipelinePath:
         with pytest.raises(gar.InvalidConfigError):
             r.process_multi([np.zeros(10), np.zeros(5)])
 
+    def test_stub_engine_contract(self):
+        # stages.go:122-189 stubStage analog: nearest-neighbor fallback,
+        # pass-through ratio adjustment, empty flush, zero state.
+        from go_audio_resampler_tpu.api import StubEngine
+        s = StubEngine(1.5, batch=2, dtype=np.float64)
+        x = np.arange(20, dtype=np.float64).reshape(2, 10)
+        y = s.process(x)
+        assert y.shape == (2, 15)
+        src = np.minimum((np.arange(15) / 1.5).astype(np.int64), 9)
+        np.testing.assert_array_equal(y, x[:, src])
+        assert s.flush().shape == (2, 0)
+        assert s.get_latency() == 0 and s.get_ratio() == 1.5
+        assert s.get_statistics() == {"samplesIn": 10, "samplesOut": 15}
+        s.reset()
+        assert s.get_statistics() == {"samplesIn": 0, "samplesOut": 0}
+        assert s.process(np.zeros((2, 0))).shape == (2, 0)
+
+    def test_mixed_mono_multi_rejected(self):
+        # Broadcasting mono into a multi-channel stream would silently
+        # corrupt every channel; the mix must raise instead.
+        r = gar.new_stereo(44100, 48000)
+        r.process_multi([sine(500, 44100), sine(500, 44100, 900)])
+        with pytest.raises(gar.ResamplerError):
+            r.process(sine(500, 44100))
+        r.reset()
+        r.process(sine(500, 44100))
+        with pytest.raises(gar.ResamplerError):
+            r.process_multi([sine(500, 44100), sine(500, 44100, 900)])
+        # reset clears the mode latch; mono-only resamplers are unaffected
+        r.reset()
+        r.process_multi([sine(500, 44100), sine(500, 44100, 900)])
+        m = gar.new_simple(44100, 48000)
+        m.process(sine(500, 44100))
+        m.process_multi([sine(500, 44100)])
+
 
 class TestSimpleResamplers:
     def test_direct_engine_matches_oneshot(self):
