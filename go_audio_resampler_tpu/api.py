@@ -157,8 +157,11 @@ class Config:
     # non-integer downsampling, raising alias rejection from ~0-10 dB
     # (reference behavior, documented there as informational) to
     # 150-198 dB — matching/beating real libsoxr's 171+ dB captures —
-    # at no passband/THD/latency cost.
-    strict_antialias: bool = False
+    # at no passband/THD/latency cost.  None = auto: engaged for
+    # non-integer downsampling at >= 24-bit precision (High/VeryHigh)
+    # unless QualityFlags.ALLOW_ALIASING is set; pass False for strict
+    # reference parity, True to force it at any preset.
+    strict_antialias: bool | None = None
 
     def validate(self) -> None:
         """resample.go:168-191."""
@@ -289,7 +292,12 @@ class Resampler:
     def __init__(self, config: Config):
         config.validate()
         if config.quality.preset != QualityPreset.CUSTOM:
+            # Expand the named preset but preserve caller-set flags:
+            # flags (e.g. ALLOW_ALIASING) compose with presets in the
+            # reference (resample.go:134-153) and must survive expansion.
+            flags = config.quality.flags
             config.quality = get_preset_spec(config.quality.preset)
+            config.quality.flags = flags
         self.config = config
         self.ratio = config.output_rate / config.input_rate
         qp = QualityParams(
@@ -303,9 +311,22 @@ class Resampler:
         self.dtype = np.dtype(config.dtype or default_dtype())
         block = config.max_input_size or 2048
         block = max(256, min(block, 65536))
+        strict = config.strict_antialias
+        if strict is None:
+            # Auto mode: the reference's default non-integer downsampling
+            # leaves images above the output Nyquist nearly unattenuated
+            # (antialiasing_test.go:727-737, documented informational).
+            # At High/VeryHigh precision we engage the prefilter by
+            # default — alias rejection is the point of those presets —
+            # unless the caller opted into aliasing.
+            noninteger_down = (self.ratio < 1.0
+                               and not (1.0 / self.ratio).is_integer())
+            strict = (noninteger_down
+                      and config.quality.precision >= 24
+                      and not (config.quality.flags
+                               & QualityFlags.ALLOW_ALIASING))
         self._engines = [
-            _stage_engine(spec, config.channels, block, self.dtype,
-                          config.strict_antialias)
+            _stage_engine(spec, config.channels, block, self.dtype, strict)
             for spec in self.pipeline.stages]
         if not self._engines:
             # ratio within tolerance of 1.0: identity pipeline

@@ -95,9 +95,31 @@ def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
 
 _DECIM_CACHE: dict = {}
 DECIM_PERIOD = 256  # outputs per frame for the decimation frames-matmul
+# Smaller period for the Pallas decim kernel: P=128 keeps the per-step
+# VMEM working set (raw DMA buffers + frame scratch + output block) well
+# under the 16 MB scoped limit where P=256 is marginal.
+PALLAS_DECIM_PERIOD = 128
 
 
-def _decim_matrix(plan: EnginePlan):
+def _pallas_ok(dtype, s: int, ipx: int, wx: int, tf: int) -> bool:
+    """Dispatch gate for the Pallas fused kernel (default-on on TPU).
+
+    Requires float32 (the kernel accumulates f32 on the MXU), at least one
+    full stream tile (smaller batches would mostly pad), and an inter-tile
+    overlap smaller than the tile itself (the DMA fetch covers one tile
+    plus the overlap).  Set GAR_TPU_USE_PALLAS=0 to force the XLA
+    gather+einsum path.
+    """
+    from ..ops import pallas_fused as pf
+
+    return (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
+            and jax.default_backend() == 'tpu'
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and s >= pf.STREAM_TILE
+            and wx - ipx < tf * ipx)
+
+
+def _decim_matrix(plan: EnginePlan, period: int = DECIM_PERIOD):
     """Banded per-period matrix for integer decimation.
 
     Output j reads x~[j*M : j*M + T]; grouping P outputs per frame gives
@@ -107,11 +129,11 @@ def _decim_matrix(plan: EnginePlan):
     the 751-tap stride-2 conv ran at ~0.1 Gsample/s; this path is
     bandwidth-bound like the rational fused path).
     """
-    key = id(plan)
+    key = (id(plan), period)
     if key in _DECIM_CACHE:
         return _DECIM_CACHE[key]
     m, t = plan.factor, plan.decim_taps
-    p = DECIM_PERIOD
+    p = period
     w = (p - 1) * m + t
     r = np.zeros((p, w), dtype=np.float64)
     for row in range(p):
@@ -122,7 +144,29 @@ def _decim_matrix(plan: EnginePlan):
 
 def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
                         dtype) -> jax.Array:
-    """Apply integer decimation via frames + one matmul."""
+    """Apply integer decimation via frames + one matmul.
+
+    On TPU with float32 the banded structure is identical to the rational
+    fused path (frames of width Wx advancing Ipx per P outputs), so the
+    same Pallas DMA-framing kernel applies; it wins the paired A/B there
+    too (see _poly_apply_rational_fused).
+    """
+    from ..ops import pallas_fused as pf
+
+    R, P, Ipx = _decim_matrix(plan, PALLAS_DECIM_PERIOD)
+    wx = R.shape[1]
+    tf = pf.frame_tile_for(P)
+    if _pallas_ok(dtype, xs.shape[0], Ipx, wx, tf):
+        n_tiles = -(-count // (tf * P))
+        s_pad = -(-xs.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
+        xlen = n_tiles * tf * Ipx + (wx - Ipx)
+        xp = jnp.pad(xs.astype(jnp.float32),
+                     ((0, s_pad - xs.shape[0]),
+                      (0, max(0, xlen - xs.shape[1]))))[:, :xlen]
+        rt = jnp.asarray(R.T, dtype=jnp.float32)
+        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P)
+        return y[:xs.shape[0], :count]
+
     R, P, Ipx = _decim_matrix(plan)
     wx = R.shape[1]
     n_frames = -(-count // P)
@@ -218,18 +262,11 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     n_frames = -(-count // P2)
 
     tf = pf.frame_tile_for(P2)
-    # The Pallas kernel's raw matmul loop beats XLA (its VMEM frame
-    # assembly avoids the HBM im2col), but its host-side input relayout
-    # (tile transpose + tail sideband) costs two extra passes over x, and
-    # paired A/B shows the XLA fused path ahead end-to-end (7.2-9.1 vs
-    # 5.6-7.2 Gs/s).  Keep XLA default; GAR_TPU_USE_PALLAS=1 opts in
-    # (useful when the caller can pre-tile inputs; see ROADMAP).
-    use_pallas = (os.environ.get('GAR_TPU_USE_PALLAS') == '1'
-                  and jax.default_backend() == 'tpu'
-                  and jnp.dtype(dtype) == jnp.float32
-                  and x.shape[0] >= pf.STREAM_TILE
-                  and wx - Ipx < tf * Ipx)
-    if use_pallas:
+    # Default-on: the DMA-framing kernel (double-buffered HBM fetches +
+    # on-chip alignment roll, no host relayout) beats the XLA fused path
+    # in paired A/B (6.9 vs 5.9 Gs/s on CD->DAT, 256 streams x 2 s).
+    # GAR_TPU_USE_PALLAS=0 opts out.
+    if _pallas_ok(dtype, x.shape[0], Ipx, wx, tf):
         n_tiles = -(-count // (tf * P2))
         s_pad = -(-x.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
         xlen = n_tiles * tf * Ipx + (wx - Ipx)

@@ -39,6 +39,14 @@ TOPOLOGIES = [
     (48000, 44100, Quality.QUICK, 'cubic'),
     (22050, 48000, Quality.HIGH, 'two_stage'),       # >2x frac up
     (48000, 11025, Quality.HIGH, 'two_stage'),       # >4x frac down
+    # Non-exact-rational ratios: the streaming side runs the general
+    # interpolated-coefficient walk (stages.poly_emit / walk16) instead of
+    # the fused per-period matmul, so these rows are what value-checks
+    # that code path against the oneshot oracle (whose host-side exact
+    # walk is independent of it).
+    (44100, 48001, Quality.HIGH, 'two_stage'),       # non-exact up
+    (48000, 44099, Quality.HIGH, 'two_stage'),       # non-exact down
+    (44100, 44101, Quality.MEDIUM, 'two_stage'),     # ratio 1+epsilon
 ]
 
 

@@ -187,6 +187,49 @@ class TestAntiAliasing:
         att = metrics.antialias_attenuation(x, y, inr, outr)
         assert np.isfinite(att)
 
+    @pytest.mark.parametrize("inr,outr,floor", [
+        (48000, 32000, 95.0), (48000, 44100, 85.0)])
+    def test_public_api_auto_strict_default(self, inr, outr, floor):
+        # Beyond-reference default: through the public API at High
+        # precision, non-integer downsampling engages the strict
+        # anti-alias prefilter automatically (Config.strict_antialias
+        # defaults to None = auto), so the informational ~0-10 dB
+        # reference behavior becomes real stopband rejection.
+        import go_audio_resampler_tpu as gar
+        x = signals.alias_tones(NUM_SAMPLES, inr, outr)
+        r = gar.new_resampler(gar.Config(
+            inr, outr, quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
+            dtype=np.float64))
+        y = np.concatenate([r.process(x), r.flush()])
+        tr = 4096
+        att = metrics.antialias_attenuation(x, y[tr:-tr], inr, outr)
+        assert att >= floor, f"auto-strict attenuation {att:.1f} dB < {floor}"
+
+    def test_public_api_opt_outs_disable_auto_strict(self):
+        # ALLOW_ALIASING or strict_antialias=False restores the
+        # reference-parity path: no prefilter, so the above-Nyquist tones
+        # fold through nearly unattenuated (the reference's informational
+        # ~0-10 dB behavior) instead of the auto-strict 85+ dB.
+        import go_audio_resampler_tpu as gar
+        spec = gar.get_preset_spec(gar.QualityPreset.HIGH)
+        spec = gar.QualitySpec(preset=spec.preset, precision=spec.precision,
+                               phase_response=spec.phase_response,
+                               passband_end=spec.passband_end,
+                               stopband_begin=spec.stopband_begin,
+                               flags=gar.QualityFlags.ALLOW_ALIASING)
+        x = signals.alias_tones(NUM_SAMPLES, 48000, 44100)
+        for cfg in [
+            gar.Config(48000, 44100, quality=spec, dtype=np.float64),
+            gar.Config(48000, 44100,
+                       quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
+                       strict_antialias=False, dtype=np.float64),
+        ]:
+            r = gar.new_resampler(cfg)
+            y = np.concatenate([r.process(x), r.flush()])
+            att = metrics.antialias_attenuation(x, y[4096:-4096],
+                                                48000, 44100)
+            assert att < 50.0, f"opt-out still filtering: {att:.1f} dB"
+
 
 class TestImpulseAndSymmetry:
     def test_impulse_finite_and_concentrated(self):

@@ -1,0 +1,89 @@
+"""Compiled-mode TPU checks for the Pallas fused kernel.
+
+The main suite pins JAX to a virtual CPU mesh (conftest.py), so the Pallas
+kernel is only ever exercised there in interpret mode.  These tests spawn a
+fresh interpreter WITHOUT the CPU pin and assert, on the real TPU, that the
+compiled Pallas kernel matches the XLA gather+einsum path bit-for-bit-close
+on both banded topologies (exact-rational and integer decimation).
+
+Gated on ``GAR_TPU_TESTS=1``: each case costs a real Mosaic + XLA compile
+(~1-2 min through the axon tunnel), so CI skips them; run locally with
+
+    GAR_TPU_TESTS=1 python -m pytest tests/test_tpu_compiled.py -v
+
+Reference anchor: this is the L1 SIMD tier's correctness check
+(simdops/ops.go:26-50 dispatch equivalence).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_GATE = os.environ.get("GAR_TPU_TESTS") == "1"
+
+_CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+assert jax.default_backend() == 'tpu', jax.default_backend()
+import jax.numpy as jnp
+import importlib
+from go_audio_resampler_tpu.engine import plan_engine
+osm = importlib.import_module('go_audio_resampler_tpu.engine.oneshot')
+from go_audio_resampler_tpu.engine.stages import gather_windows
+from go_audio_resampler_tpu.filterdesign import Quality
+from go_audio_resampler_tpu.ops import pallas_fused as pf
+
+mode = {mode!r}
+plan = plan_engine({inr}, {outr}, Quality.HIGH)
+if mode == 'rational':
+    R, P2, Ipx = osm._fused_rational_matrix(plan)
+else:
+    assert plan.kind == 'decimate', plan.kind
+    R, P2, Ipx = osm._decim_matrix(plan, osm.PALLAS_DECIM_PERIOD)
+wx = R.shape[1]
+tf = pf.frame_tile_for(P2)
+nf = 4 * tf
+xlen = nf * Ipx + (wx - Ipx)
+rng = np.random.default_rng(7)
+x = jnp.asarray(rng.normal(size=(pf.STREAM_TILE, xlen)).astype(np.float32))
+rt = jnp.asarray(R.T, dtype=jnp.float32)
+yp = np.asarray(pf.fused_resample_pallas(x, rt, ipx=Ipx, wx=wx, p2=P2))
+starts = jnp.asarray(np.arange(nf, dtype=np.int64) * Ipx, dtype=jnp.int32)
+frames = gather_windows(x, starts, wx)
+# HIGHEST precision so the XLA reference is a true f32 matmul (the TPU
+# default is bf16x3-ish and would dominate the comparison error).
+yx = np.asarray(jnp.einsum('sfw,wp->sfp', frames, rt,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+yx = yx.reshape(x.shape[0], nf * P2)
+err = np.max(np.abs(yp - yx)) / max(1e-30, np.max(np.abs(yx)))
+assert err < 1e-5, f"compiled pallas vs xla rel err {{err:.3e}}"
+print(f"OK {{mode}} rel_err={{err:.3e}}")
+"""
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_child(mode: str, inr: float, outr: float):
+    env = dict(os.environ)
+    # Drop the suite's CPU pin so the child sees the real TPU.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    src = _CHILD.format(repo=_REPO, mode=mode, inr=inr, outr=outr)
+    res = subprocess.run([sys.executable, "-c", src], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert f"OK {mode}" in res.stdout, res.stdout
+
+
+@pytest.mark.skipif(not _GATE, reason="set GAR_TPU_TESTS=1 to run on TPU")
+class TestCompiledPallas:
+    def test_rational_cd_to_dat(self):
+        _run_child("rational", 44100.0, 48000.0)
+
+    def test_decimate_96k_to_48k(self):
+        _run_child("decim", 96000.0, 48000.0)

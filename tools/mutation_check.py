@@ -1,0 +1,94 @@
+"""Mutation check: verify the suite catches injected engine bugs.
+
+Applies each mutation to a copy-restored source file, runs a targeted
+pytest subset, and reports CAUGHT (tests failed) or SURVIVED (tests
+passed).  A SURVIVED non-equivalent mutant means the suite lacks
+discriminating power on that path; the run exits 1.
+
+This is the framework analog of the reference's test-depth guarantee
+(its 38 engine test files cross-check every topology's values); here the
+same assurance is spot-checked by mutating the length model
+(engine/counts.py) and the streaming phase walk (engine/stages.py).
+
+Usage:  python tools/mutation_check.py          (from the repo root)
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# (file, old, new, pytest targets, note)
+MUTATIONS = [
+    (
+        "go_audio_resampler_tpu/engine/counts.py",
+        "num_out = (limit - self.at + self.step - 1) // self.step",
+        "num_out = (limit - self.at) // self.step",
+        ["tests/test_engine_core.py"],
+        "poly count model: floor instead of ceil",
+    ),
+    # NOTE an over-consume mutant (consumed += 1 in PolyphaseSim.process)
+    # is *equivalent* under the product's call pattern: canonical() feeds
+    # the sim three large blocks, the min(consumed, hist) clamp never
+    # binds, and at/hist shift together — verified by exhaustive n-sweep
+    # over every two_stage config in the test matrix.  Use the window
+    # count instead, which canonical() totals depend on directly.
+    (
+        "go_audio_resampler_tpu/engine/counts.py",
+        "num_in = self.hist - self.taps + 1",
+        "num_in = self.hist - self.taps + 2",
+        ["tests/test_engine_core.py"],
+        "poly count model: valid-window count off by one",
+    ),
+    (
+        "go_audio_resampler_tpu/engine/stages.py",
+        "x = frac.astype(hist.dtype) * (1.0 / 65536.0)",
+        "x = frac.astype(hist.dtype) * (1.0 / 65600.0)",
+        ["tests/test_engine_core.py"],
+        "streaming walk: wrong fraction scale (needs the non-exact-"
+        "rational topology rows to be caught)",
+    ),
+    (
+        "go_audio_resampler_tpu/engine/oneshot.py",
+        "at = plan.at0 + np.arange(count, dtype=np.int64) * plan.step",
+        "at = plan.at0 + 1 + np.arange(count, dtype=np.int64) * plan.step",
+        ["tests/test_independent_oracle.py", "tests/test_engine_core.py"],
+        "oneshot host walk: phase origin off by one frac unit",
+    ),
+]
+
+
+def run(mut) -> bool:
+    """Apply one mutation, run its tests, restore.  True = caught."""
+    path, old, new, targets, note = mut
+    src = REPO / path
+    text = src.read_text()
+    assert old in text, f"mutation site vanished: {path}: {old!r}"
+    backup = src.with_suffix(".mutbak")
+    shutil.copy(src, backup)
+    try:
+        src.write_text(text.replace(old, new, 1))
+        res = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x", *targets],
+            cwd=REPO, capture_output=True, text=True, timeout=1800)
+        caught = res.returncode != 0
+        print(f"{'CAUGHT  ' if caught else 'SURVIVED'}  {note}")
+        return caught
+    finally:
+        shutil.move(backup, src)
+
+
+def main() -> int:
+    ok = True
+    for mut in MUTATIONS:
+        ok &= run(mut)
+    print("mutation check:", "all caught" if ok else "SURVIVORS — add tests")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
