@@ -45,6 +45,7 @@ from .convenience import (
     SimpleResamplerFloat32,
     new_engine,
     new_engine_float32,
+    new_variable_rate,
     new_cd_to_dat,
     new_dat_to_cd,
     new_cd_to_hires,
@@ -62,7 +63,7 @@ from .convenience import (
     interleave_to_stereo_float32,
     deinterleave_from_stereo_float32,
 )
-from .engine import EngineCore, plan_engine, oneshot
+from .engine import EngineCore, plan_engine, oneshot, VariableRateResampler
 from .filterdesign import Quality as EngineQuality
 
 __version__ = "0.1.0"
@@ -77,11 +78,12 @@ __all__ = [
     "RATE_HIRES_176", "RATE_HIRES_192", "RATE_TELEPHONY", "RATE_VOIP",
     "RATE_SPEECH", "RATE_VIDEO",
     "SimpleResampler", "SimpleResamplerFloat32", "new_engine",
-    "new_engine_float32", "new_cd_to_dat", "new_dat_to_cd",
+    "new_engine_float32", "new_variable_rate", "new_cd_to_dat", "new_dat_to_cd",
     "new_cd_to_hires", "new_hires_to_cd", "new_simple", "new_stereo",
     "new_multi_channel", "preset_to_engine_quality", "resample_mono",
     "resample_stereo", "resample_mono_float32", "resample_stereo_float32",
     "interleave_to_stereo", "deinterleave_from_stereo",
     "interleave_to_stereo_float32", "deinterleave_from_stereo_float32",
     "EngineCore", "plan_engine", "oneshot", "EngineQuality",
+    "VariableRateResampler",
 ]

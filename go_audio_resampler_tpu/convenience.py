@@ -188,6 +188,24 @@ def new_engine_float32(input_rate: float, output_rate: float,
     return SimpleResamplerFloat32(input_rate, output_rate, quality)
 
 
+def new_variable_rate(input_rate: float, max_output_rate: float, *,
+                      output_rate: float | None = None, channels: int = 1,
+                      dtype=np.float32, hq: bool = False):
+    """Variable-rate resampler (libsoxr SOXR_VR; beyond the Go reference).
+
+    ``max_output_rate`` bounds how high the output rate may ever be set
+    (sizes device buffers, soxr-style).  The initial rate defaults to
+    ``max_output_rate``; change it at runtime with
+    ``set_io_ratio(input_rate / new_output_rate, slew_len)``.
+    """
+    from .engine.variable import VariableRateResampler
+
+    init_out = output_rate if output_rate is not None else max_output_rate
+    return VariableRateResampler(
+        max_output_rate / input_rate, input_rate / init_out,
+        batch=channels, dtype=dtype, quality='vr-hq' if hq else 'vr')
+
+
 # --- one-shot helpers -------------------------------------------------------
 
 def _oneshot_1d(x, input_rate, output_rate, quality, dtype) -> np.ndarray:

@@ -6,9 +6,10 @@ from .counts import LengthModel
 from .oneshot import oneshot
 from .streaming import EngineCore
 from .checkpoint import save_stream_state, load_stream_state
+from .variable import VariableRateResampler
 
 __all__ = [
     "EnginePlan", "EngineConfigError", "plan_engine", "MIN_RATIO",
     "MAX_RATIO", "LengthModel", "oneshot", "EngineCore",
-    "save_stream_state", "load_stream_state",
+    "save_stream_state", "load_stream_state", "VariableRateResampler",
 ]

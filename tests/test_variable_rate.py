@@ -1,0 +1,195 @@
+"""Variable-rate resampler tests (engine/variable.py; libsoxr SOXR_VR
+capability, beyond the Go reference).
+
+Methodology mirrors the constant-rate tiers: exact structural contracts
+(lengths, chunking invariance, reset), analytic ground truth (tone LS
+fits, instantaneous-frequency tracking through a slew), and an
+independent cross-check against the constant-rate QUICK cubic engine for
+a fixed ratio (both are SOXR cr-core cubics; cubic.go:75-90).
+"""
+
+import numpy as np
+import pytest
+
+import go_audio_resampler_tpu as gar
+from go_audio_resampler_tpu.engine.variable import VariableRateResampler
+from go_audio_resampler_tpu.utils import signals
+
+
+def sine(n, cycles_per_sample, phase=0.0):
+    return np.sin(2 * np.pi * cycles_per_sample * np.arange(n) + phase)
+
+
+def ls_fit_tone(y, cycles_per_sample):
+    """Least-squares amplitude/phase of a known-frequency tone."""
+    t = np.arange(len(y))
+    c = np.cos(2 * np.pi * cycles_per_sample * t)
+    s = np.sin(2 * np.pi * cycles_per_sample * t)
+    A = np.stack([c, s], axis=1)
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    amp = float(np.hypot(*coef))
+    resid = y - A @ coef
+    return amp, float(np.sqrt(np.mean(resid ** 2)))
+
+
+class TestStructure:
+    def test_identity_ratio_exact(self):
+        # io_ratio 1.0 positions land exactly on input samples: the cubic
+        # with frac 0 reproduces the input bit-for-bit.
+        x = sine(5000, 0.01)
+        vr = VariableRateResampler(2.0, 1.0, dtype=np.float64, block=512)
+        y = np.concatenate([vr.process(x)[0], vr.flush()[0]])
+        assert len(y) == 5000
+        np.testing.assert_array_equal(y[4:-4], x[4:-4])
+
+    @pytest.mark.parametrize("r,exp", [(0.5, 10000), (2.0, 2500),
+                                       (0.75, 6667), (1.25, 4000)])
+    def test_output_counts(self, r, exp):
+        # Canonical contract: outputs with position p < n_inputs.
+        x = np.zeros(5000)
+        vr = VariableRateResampler(4.0, r, dtype=np.float64)
+        y = np.concatenate([vr.process(x)[0], vr.flush()[0]])
+        assert abs(len(y) - exp) <= 1, (len(y), exp)
+
+    @pytest.mark.parametrize("quality", ["vr", "vr-hq"])
+    @pytest.mark.parametrize("chunk", [1, 313, 997, 4096])
+    def test_chunking_invariance(self, quality, chunk):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=4000)
+        a = VariableRateResampler(4.0, 0.8, dtype=np.float64,
+                                  quality=quality, block=512)
+        ya = np.concatenate([a.process(x)[0], a.flush()[0]])
+        b = VariableRateResampler(4.0, 0.8, dtype=np.float64,
+                                  quality=quality, block=512)
+        parts = [b.process(x[i:i + chunk])[0]
+                 for i in range(0, len(x), chunk)]
+        yb = np.concatenate(parts + [b.flush()[0]])
+        assert ya.shape == yb.shape
+        np.testing.assert_array_equal(ya, yb)
+
+    def test_batch_streams_independent(self):
+        rng = np.random.default_rng(6)
+        xs = rng.normal(size=(3, 3000))
+        vr = VariableRateResampler(2.0, 1.1, batch=3, dtype=np.float64)
+        y = np.concatenate([vr.process(xs), vr.flush()], axis=1)
+        for i in range(3):
+            solo = VariableRateResampler(2.0, 1.1, batch=1,
+                                         dtype=np.float64)
+            ys = np.concatenate([solo.process(xs[i])[0], solo.flush()[0]])
+            assert y[i].shape == ys.shape
+            # [3,*] and [1,*] programs fuse with different FMA
+            # contraction; lanes agree to 1 ulp, not bit-exactly.
+            np.testing.assert_allclose(y[i], ys, rtol=1e-13, atol=2e-15)
+
+    def test_reset_reproducible(self):
+        x = sine(2000, 0.013)
+        vr = VariableRateResampler(2.0, 0.9, dtype=np.float64)
+        vr.set_io_ratio(1.2, slew_len=500)
+        y1 = np.concatenate([vr.process(x)[0], vr.flush()[0]])
+        vr.reset()
+        vr.set_io_ratio(1.2, slew_len=500)
+        # after reset the ratio state carries over from the last set call
+        # only via set_io_ratio; re-arm identically.
+        vr2 = VariableRateResampler(2.0, vr.get_io_ratio(),
+                                    dtype=np.float64)
+        assert np.isfinite(y1).all()
+        stats = vr.get_statistics()
+        assert stats["samplesIn"] == 0 and stats["samplesOut"] == 0
+        assert vr2.get_io_ratio() == vr.get_io_ratio()
+
+    def test_ratio_validation(self):
+        with pytest.raises(ValueError):
+            VariableRateResampler(500.0)
+        with pytest.raises(ValueError):
+            VariableRateResampler(2.0, 1 / 300.0)
+        vr = VariableRateResampler(2.0, 1.0)
+        with pytest.raises(ValueError):
+            vr.set_io_ratio(0.25)       # output/input 4 > max_ratio 2
+        with pytest.raises(ValueError):
+            vr.set_io_ratio(300.0)
+
+    def test_convenience_ctor(self):
+        vr = gar.new_variable_rate(48000, 96000, output_rate=48000,
+                                   channels=2, dtype=np.float64)
+        assert vr.get_io_ratio() == 1.0 and vr.batch == 2
+        x = np.zeros((2, 1000))
+        y = np.concatenate([vr.process(x), vr.flush()], axis=1)
+        assert y.shape[0] == 2 and abs(y.shape[1] - 1000) <= 1
+
+
+class TestQuality:
+    def test_constant_ratio_matches_quick_cubic_class(self):
+        # Fixed-ratio VR against the constant-rate QUICK engine (both are
+        # SOXR cr-core cubics): same length; tone amplitude within the
+        # cubic class's tolerance of unity.
+        f = 0.02
+        x = sine(44100, f)
+        vr = VariableRateResampler(2.0, 44100 / 48000, dtype=np.float64)
+        y = np.concatenate([vr.process(x)[0], vr.flush()[0]])
+        eng = gar.new_engine(44100, 48000, gar.QualityPreset.QUICK)
+        z = np.concatenate([eng.process(x), eng.flush()])
+        assert abs(len(y) - len(z)) <= 2
+        amp_y, _ = ls_fit_tone(y[100:-100], f * 44100 / 48000)
+        amp_z, _ = ls_fit_tone(z[100:-100], f * 44100 / 48000)
+        assert abs(amp_y - 1.0) < 5e-3
+        assert abs(amp_y - amp_z) < 5e-3
+
+    def test_hq_mode_cuts_interpolation_error(self):
+        # A 0.2*fs tone stresses cubic interpolation; the 2x half-band
+        # prestage must cut the residual by >= 20 dB.
+        f = 0.2
+        x = sine(48000, f)
+        resid = {}
+        for q in ("vr", "vr-hq"):
+            vr = VariableRateResampler(2.0, 0.9, dtype=np.float64,
+                                       quality=q)
+            y = np.concatenate([vr.process(x)[0], vr.flush()[0]])
+            _, resid[q] = ls_fit_tone(y[500:-500], f * 0.9)
+        improvement_db = 20 * np.log10(resid["vr"] / resid["vr-hq"])
+        assert improvement_db >= 20.0, improvement_db
+
+    def test_glissando_tracks_instantaneous_frequency(self):
+        # Slew the ratio 1.0 -> 0.5 over 20000 outputs while feeding a
+        # fixed tone; the output tone's instantaneous frequency must track
+        # f_in * r(t) through the glide (phase-vocoder-free check: short
+        # LS fits in windows against the locally expected frequency).
+        f_in = 0.01
+        x = sine(60000, f_in)
+        vr = VariableRateResampler(4.0, 1.0, dtype=np.float64)
+        vr.set_io_ratio(0.5, slew_len=20000)
+        y = np.concatenate([vr.process(x)[0], vr.flush()[0]])
+        # Expected ratio at output k: linear from 1.0 to 0.5 over 20000.
+        for k0 in (2000, 8000, 14000, 30000):
+            r_k = 1.0 - 0.5 * min(k0 + 400, 20000) / 20000.0 \
+                if k0 < 20000 else 0.5
+            w = y[k0:k0 + 800]
+            f_loc = f_in * (1.0 - 0.5 * min(k0 + 400, 20000) / 20000.0
+                            if k0 + 400 < 20000 else 0.5)
+            amp, resid = ls_fit_tone(w, f_loc)
+            assert abs(amp - 1.0) < 0.05, (k0, amp)
+            assert resid < 0.08, (k0, resid)
+
+    def test_slew_continuity(self):
+        # No discontinuity at slew boundaries: the output's second
+        # difference stays bounded by the tone's own curvature scale.
+        x = sine(30000, 0.005)
+        vr = VariableRateResampler(4.0, 1.0, dtype=np.float64)
+        y0 = vr.process(x[:10000])[0]
+        vr.set_io_ratio(0.7, slew_len=5000)
+        y1 = vr.process(x[10000:])[0]
+        y = np.concatenate([y0, y1, vr.flush()[0]])
+        d2 = np.abs(np.diff(y, 2))
+        assert d2.max() < 10 * (2 * np.pi * 0.005) ** 2, d2.max()
+
+    def test_drift_correction_usecase(self):
+        # Clock-drift trim: +-100 ppm adjustments around unity must keep
+        # the stream bit-exact-close to the input (sub-sample resampling
+        # of a smooth signal).
+        x = sine(20000, 0.008)
+        vr = VariableRateResampler(2.0, 1.0001, dtype=np.float64)
+        y1 = vr.process(x[:10000])[0]
+        vr.set_io_ratio(0.9999, slew_len=100)
+        y2 = np.concatenate([vr.process(x[10000:])[0], vr.flush()[0]])
+        y = np.concatenate([y1, y2])
+        amp, resid = ls_fit_tone(y[200:9000], 0.008 * 1.0001)
+        assert abs(amp - 1.0) < 1e-3 and resid < 1e-2
