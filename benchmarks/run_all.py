@@ -20,9 +20,14 @@ from __future__ import annotations
 
 import json
 import pathlib
+import sys
 import time
 
 import numpy as np
+
+# Runnable as `python benchmarks/run_all.py` from anywhere: sys.path[0] is
+# this file's directory, so add the repo root for the package import.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def min_time(fn, iters=15):
@@ -180,6 +185,24 @@ def main() -> None:
             return f
         results["pipeline_48k_8k_high"] = slope_msps(
             make_pipeline, max(8 // scale, 1), max(64 // scale, 2), n)
+
+    # 9. FFT overlap-save vs banded-matmul decimation (paired): the FFT
+    # lowering's throughput is length-independent; the matmul path wins
+    # at production prototype lengths (see engine/fftstage.py docstring).
+    if wanted("fft_vs_matmul_96k_48k"):
+        from go_audio_resampler_tpu.engine.fftstage import _fft_oneshot_jit
+
+        plan = plan_engine(96000.0, 48000.0, Quality.HIGH)
+
+        def make_fft(s):
+            x = jnp.asarray(rng.normal(size=(s, 96000)).astype(np.float32))
+
+            @jax.jit
+            def f():
+                return jnp.sum(_fft_oneshot_jit(plan, x, 'float32'))
+            return f
+        results["fft_decim_96k_48k"] = slope_msps(
+            make_fft, max(64 // scale, 1), max(512 // scale, 2), 96000)
 
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")

@@ -7,9 +7,11 @@ from .oneshot import oneshot
 from .streaming import EngineCore
 from .checkpoint import save_stream_state, load_stream_state
 from .variable import VariableRateResampler
+from .fftstage import fft_oneshot
 
 __all__ = [
     "EnginePlan", "EngineConfigError", "plan_engine", "MIN_RATIO",
     "MAX_RATIO", "LengthModel", "oneshot", "EngineCore",
     "save_stream_state", "load_stream_state", "VariableRateResampler",
+    "fft_oneshot",
 ]
