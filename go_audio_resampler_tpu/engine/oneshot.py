@@ -101,13 +101,15 @@ DECIM_PERIOD = 256  # outputs per frame for the decimation frames-matmul
 PALLAS_DECIM_PERIOD = 128
 
 
-def _pallas_ok(dtype, s: int, ipx: int, wx: int, tf: int) -> bool:
+def _pallas_ok(dtype, s: int, ipx: int, wx: int, p2: int, tf: int) -> bool:
     """Dispatch gate for the Pallas fused kernel (default-on on TPU).
 
     Requires float32 (the kernel accumulates f32 on the MXU), at least one
-    full stream tile (smaller batches would mostly pad), and an inter-tile
+    full stream tile (smaller batches would mostly pad), an inter-tile
     overlap smaller than the tile itself (the DMA fetch covers one tile
-    plus the overlap).  Set GAR_TPU_USE_PALLAS=0 to force the XLA
+    plus the overlap), and a per-step working set within the scoped-VMEM
+    budget (odd periods force a 128-frame tile that can exceed it; see
+    pallas_fused.vmem_bytes).  Set GAR_TPU_USE_PALLAS=0 to force the XLA
     gather+einsum path.
     """
     from ..ops import pallas_fused as pf
@@ -116,7 +118,8 @@ def _pallas_ok(dtype, s: int, ipx: int, wx: int, tf: int) -> bool:
             and jax.default_backend() == 'tpu'
             and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
             and s >= pf.STREAM_TILE
-            and wx - ipx < tf * ipx)
+            and wx - ipx < tf * ipx
+            and pf.vmem_bytes(ipx, wx, p2, tf) <= pf.VMEM_BUDGET)
 
 
 def _decim_matrix(plan: EnginePlan, period: int = DECIM_PERIOD):
@@ -156,7 +159,7 @@ def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
     R, P, Ipx = _decim_matrix(plan, PALLAS_DECIM_PERIOD)
     wx = R.shape[1]
     tf = pf.frame_tile_for(P)
-    if _pallas_ok(dtype, xs.shape[0], Ipx, wx, tf):
+    if _pallas_ok(dtype, xs.shape[0], Ipx, wx, P, tf):
         n_tiles = -(-count // (tf * P))
         s_pad = -(-xs.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
         xlen = n_tiles * tf * Ipx + (wx - Ipx)
@@ -266,7 +269,7 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     # on-chip alignment roll, no host relayout) beats the XLA fused path
     # in paired A/B (6.9 vs 5.9 Gs/s on CD->DAT, 256 streams x 2 s).
     # GAR_TPU_USE_PALLAS=0 opts out.
-    if _pallas_ok(dtype, x.shape[0], Ipx, wx, tf):
+    if _pallas_ok(dtype, x.shape[0], Ipx, wx, P2, tf):
         n_tiles = -(-count // (tf * P2))
         s_pad = -(-x.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
         xlen = n_tiles * tf * Ipx + (wx - Ipx)

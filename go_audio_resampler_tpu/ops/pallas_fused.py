@@ -55,6 +55,29 @@ def frame_tile_for(p2: int) -> int:
     return tf0 * max(1, -(-16 // tf0))
 
 
+VMEM_BUDGET = 14 << 20  # scoped-VMEM gate (hardware limit 16M; headroom)
+
+
+def vmem_bytes(ipx: int, wx: int, p2: int, tf: int) -> int:
+    """Scoped-VMEM footprint of one grid step (mirrors the scratch list).
+
+    Odd p2 forces tf = 128 (the flat [S, NF*P2] store needs tf*p2 to be
+    lane-aligned), which blows the raw/xv/frames scratch past the 16 MB
+    scoped limit — e.g. 48k->44.1k (P2=147) needs ~27 MB.  The dispatcher
+    calls this and falls back to the XLA fused path when over budget.
+    """
+    ts = STREAM_TILE
+    wx_pad = _round_up(wx, 128)
+    tile_in = tf * ipx
+    xv_len = _round_up(max(tile_in + 128, (tf - 1) * ipx + wx_pad), 128)
+    fetch = xv_len + 128
+    return 4 * (2 * ts * fetch          # raw DMA double buffer
+                + ts * fetch            # xv (rolled window)
+                + ts * tf * wx_pad      # frames
+                + ts * tf * p2          # output block
+                + wx_pad * p2)          # R
+
+
 def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
             ipx: int, wx_pad: int, p2: int, tf: int, tile_in: int,
             fetch: int):

@@ -58,3 +58,15 @@ class TestFusedKernelInterpret:
             pf.fused_resample_pallas(jnp.asarray(x),
                                      jnp.asarray(R.T, dtype=jnp.float32),
                                      ipx=Ipx, wx=wx, p2=P2, interpret=True)
+
+    def test_vmem_budget_gate(self):
+        # Odd periods force tf=128, whose working set exceeds the scoped
+        # VMEM limit — the dispatcher must estimate this and fall back.
+        # (Found live: default-on Pallas OOMed 48k->44.1k, P2=147.)
+        for ipx, wx, p2, fits in [(294, 1100, 320, True),    # CD->DAT
+                                  (256, 1155, 128, True),    # decim x2
+                                  (160, 1100, 147, False),   # 48k->44.1k
+                                  (147, 1000, 441, False)]:  # odd period
+            tf = pf.frame_tile_for(p2)
+            ok = pf.vmem_bytes(ipx, wx, p2, tf) <= pf.VMEM_BUDGET
+            assert ok == fits, (ipx, wx, p2, tf)
