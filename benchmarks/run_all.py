@@ -98,12 +98,12 @@ def main() -> None:
     # 1. one-shot mono 44.1k->48k High
     if wanted("oneshot_mono_44k_48k_high"):
         results["oneshot_mono_44k_48k_high"] = oneshot_bench(
-            44100, 48000, Quality.HIGH, 44100, 128, 1024)
+            44100, 48000, Quality.HIGH, 44100, 128, 2048)
 
     # 2. "stereo streaming" 48k->44.1k: 2-lane batches
     if wanted("stereo_48k_44k_high_f32"):
         results["stereo_48k_44k_high_f32"] = oneshot_bench(
-            48000, 44100, Quality.HIGH, 48000, 128, 1024)
+            48000, 44100, Quality.HIGH, 48000, 128, 2048)
 
     # 3. preset sweep at 44.1k->48k
     for q, name in [(Quality.QUICK, "quick"), (Quality.LOW, "low"),
@@ -111,17 +111,17 @@ def main() -> None:
                     (Quality.VERY_HIGH, "veryhigh")]:
         if wanted(f"sweep_{name}"):
             results[f"sweep_{name}"] = oneshot_bench(
-                44100, 48000, q, 44100, 128, 1024)
+                44100, 48000, q, 44100, 128, 2048)
 
     # 4. 8-channel surround 96k->48k (integer decimation path)
     if wanted("surround_8ch_96k_48k"):
         results["surround_8ch_96k_48k"] = oneshot_bench(
-            96000, 48000, Quality.HIGH, 96000, 64, 512)
+            96000, 48000, Quality.HIGH, 96000, 64, 1024)
 
     # 5. ML ingest: 256 concurrent mono streams 48k->16k
     if wanted("ml_ingest_256x_48k_16k"):
         results["ml_ingest_256x_48k_16k"] = oneshot_bench(
-            48000, 16000, Quality.HIGH, 48000, 128, 1024)
+            48000, 16000, Quality.HIGH, 48000, 128, 2048)
 
     # 6. streaming serving path: fused per-block step, 16 blocks chained
     # on-device (slope between batch sizes cancels launch overhead)

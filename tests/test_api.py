@@ -318,3 +318,29 @@ class TestSampleFIFO:
         f.write(np.ones((1, 4)))
         f.reset()
         assert f.available() == 0
+
+
+class TestPipelineStreamMatchesStageOracle:
+    def test_single_stage_bit_exact(self):
+        # The pipeline Resampler's stream must equal the one-shot oracle
+        # of the SAME stage filter (High preset -> precision 24 ->
+        # BITS_24, stages.go:76-108), independent of caller chunking.
+        # (The direct-engine High filter is a different filter;
+        # cross-quality comparison is not sample-exact.)  On a single
+        # device the match is bit-exact; under the suite's virtual
+        # 8-device CPU mesh XLA partitions reductions differently per
+        # program, so equality is to ULP.
+        from go_audio_resampler_tpu.api import precision_to_engine_quality
+        from go_audio_resampler_tpu.engine import plan_engine, oneshot
+        x = sine(20000, 44100)
+        r = gar.new_resampler(gar.Config(
+            44100, 48000,
+            quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+            dtype=np.float64))
+        outs = [r.process(c) for c in np.array_split(x, 7)]
+        outs.append(r.flush())
+        s = np.concatenate(outs)
+        plan = plan_engine(44100.0, 48000.0, precision_to_engine_quality(24))
+        oracle = np.asarray(oneshot(plan, x[None], dtype=np.float64))[0]
+        assert len(s) == len(oracle)
+        np.testing.assert_allclose(s, oracle, rtol=1e-12, atol=1e-14)
