@@ -86,12 +86,12 @@ def main() -> None:
         plan = plan_engine(float(inr), float(outr), q)
 
         def make(s):
+            # x is passed as a jit ARGUMENT: a captured array would be
+            # baked into the program as a constant and shipped with the
+            # remote-compile request (HTTP 413 at 2048 x 44100 f32).
             x = jnp.asarray(rng.normal(size=(s, n)).astype(np.float32) * 0.5)
-
-            @jax.jit
-            def f():
-                return jnp.sum(_oneshot_jit(plan, x, dtype))
-            return f
+            g = jax.jit(lambda xx: jnp.sum(_oneshot_jit(plan, xx, dtype)))
+            return lambda: g(x)
         return slope_msps(make, max(s_small // scale, 1),
                           max(s_large // scale, 2), n)
 
@@ -142,17 +142,17 @@ def main() -> None:
             x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32))
 
             @jax.jit
-            def f():
+            def g(xx):
                 def body(carry, _):
                     c, acc = carry
-                    c2, y, n = _step_rational_fused(rt, c, x, ipx=ipx,
+                    c2, y, n = _step_rational_fused(rt, c, xx, ipx=ipx,
                                                     wx=wx, p2=p2)
                     return (c2, acc + jnp.sum(y)), None
                 init = (jnp.zeros((s, carry_len), jnp.float32),
                         jnp.float32(0))
                 (c, acc), _ = jax.lax.scan(body, init, None, length=n_steps)
                 return acc
-            return f
+            return lambda: g(x)
         results["streaming_44k_48k_fused_step"] = slope_msps(
             lambda s: make(s), max(128 // scale, 1),
             max(1024 // scale, 2), blk * n_steps)
@@ -196,20 +196,41 @@ def main() -> None:
 
         def make_fft(s):
             x = jnp.asarray(rng.normal(size=(s, 96000)).astype(np.float32))
-
-            @jax.jit
-            def f():
-                return jnp.sum(_fft_oneshot_jit(plan, x, 'float32'))
-            return f
+            g = jax.jit(lambda xx: jnp.sum(_fft_oneshot_jit(plan, xx,
+                                                            'float32')))
+            return lambda: g(x)
         results["fft_decim_96k_48k"] = slope_msps(
             make_fft, max(64 // scale, 1), max(512 // scale, 2), 96000)
+
+    # 10. variable-rate serving: many concurrent VR streams mid-glide
+    # (blocked device gathers + cubic; host walk overlaps device work).
+    if wanted("variable_rate_256x"):
+        from go_audio_resampler_tpu.engine.variable import (
+            VariableRateResampler)
+        s = max(256 // scale, 1)
+        n = 48000
+        vr = VariableRateResampler(2.0, 44100 / 48000, batch=s,
+                                   block=4096, dtype=np.float32)
+        vr.set_io_ratio(1.1, slew_len=1 << 30)  # permanent slew regime
+        x = (rng.normal(size=(s, n)).astype(np.float32) * 0.5)
+        vr.process(x)                           # warm the compiled step
+
+        def f():
+            y = vr.process(x)
+            return float(y[0, :1].sum()) if y.shape[1] else 0.0
+        t = min_time(f)
+        results["variable_rate_256x"] = s * n / t / 1e6
 
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")
     out = pathlib.Path(__file__).parent / "results.json"
     merged = {}
     if out.exists():
-        merged = json.loads(out.read_text()).get("results", {})
+        prev = json.loads(out.read_text())
+        # Never mix backends in one results file: a CPU smoke run must
+        # not contaminate the committed TPU numbers (and vice versa).
+        if prev.get("backend") == jax.default_backend():
+            merged = prev.get("results", {})
     merged.update({k: round(v, 1) for k, v in results.items()})
     out.write_text(json.dumps(
         {"unit": "Msamples/s input throughput per chip",

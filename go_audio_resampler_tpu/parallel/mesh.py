@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..engine import plan_engine, EngineCore
+from ..engine.variable import VariableRateResampler
 from ..engine.oneshot import _oneshot_jit
 from ..engine import stages
 
@@ -260,3 +261,31 @@ def global_stream_stats(x, mesh: Mesh):
         return jnp.sqrt(ss / n), peak
 
     return stats(x)
+
+
+class ShardedVariableRateResampler(VariableRateResampler):
+    """Variable-rate engine with the batch axis sharded across a mesh.
+
+    The VR device step (engine/variable.py) is embarrassingly parallel
+    over streams: the per-output index/fraction arrays are replicated
+    (identical walk for every stream) while the carry and input blocks
+    shard on the batch axis — pure stream DP over ICI, the same model as
+    ShardedEngineCore.  The host-side position walk is unchanged.
+    """
+
+    def __init__(self, max_ratio: float, io_ratio: float = 1.0, *,
+                 mesh: Mesh, batch_per_device: int = 1, **kwargs):
+        self.mesh = mesh
+        self._sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
+        super().__init__(max_ratio, io_ratio,
+                         batch=batch_per_device * mesh.size, **kwargs)
+
+    def reset(self) -> None:
+        super().reset()
+        self._carry = jax.device_put(self._carry, self._sharding)
+        if self.quality == 'vr-hq':
+            self._pre_carry = jax.device_put(self._pre_carry,
+                                             self._sharding)
+
+    def _stage_stream(self, x):
+        return super()._stage_stream(jax.device_put(x, self._sharding))

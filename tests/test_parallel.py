@@ -180,3 +180,25 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestShardedVariableRate:
+    def test_sharded_matches_serial(self):
+        from go_audio_resampler_tpu import parallel
+        from go_audio_resampler_tpu.engine.variable import (
+            VariableRateResampler)
+        mesh = parallel.make_mesh()
+        rng = np.random.default_rng(12)
+        s = 2 * mesh.devices.size
+        x = rng.normal(size=(s, 6000))
+        sh = parallel.ShardedVariableRateResampler(
+            2.0, 0.9, mesh=mesh, batch_per_device=2,
+            dtype=np.float64, block=1024)
+        sh.set_io_ratio(1.1, slew_len=2000)
+        ser = VariableRateResampler(2.0, 0.9, batch=s,
+                                    dtype=np.float64, block=1024)
+        ser.set_io_ratio(1.1, slew_len=2000)
+        ys = np.concatenate([sh.process(x), sh.flush()], axis=1)
+        yr = np.concatenate([ser.process(x), ser.flush()], axis=1)
+        assert ys.shape == yr.shape
+        np.testing.assert_allclose(ys, yr, rtol=1e-13, atol=2e-15)
