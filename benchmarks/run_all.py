@@ -172,8 +172,11 @@ def main() -> None:
         n = 48000
 
         def make_pipeline(s):
+            # max_input_size tunes the internal device block: one block
+            # per stage call instead of 24, cutting the per-call tunnel
+            # round-trips that dominate this host-orchestrated path.
             r = gar.new_resampler(gar.Config(
-                48000, 8000, channels=s,
+                48000, 8000, channels=s, max_input_size=65536,
                 quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
                 dtype=np.float32))
             chans = [rng.normal(size=n).astype(np.float32) * 0.5
@@ -210,7 +213,7 @@ def main() -> None:
         s = max(256 // scale, 1)
         n = 48000
         vr = VariableRateResampler(2.0, 44100 / 48000, batch=s,
-                                   block=4096, dtype=np.float32)
+                                   block=16384, dtype=np.float32)
         vr.set_io_ratio(1.1, slew_len=1 << 30)  # permanent slew regime
         x = (rng.normal(size=(s, n)).astype(np.float32) * 0.5)
         vr.process(x)                           # warm the compiled step

@@ -101,25 +101,25 @@ DECIM_PERIOD = 256  # outputs per frame for the decimation frames-matmul
 PALLAS_DECIM_PERIOD = 128
 
 
-def _pallas_ok(dtype, s: int, ipx: int, wx: int, p2: int, tf: int) -> bool:
+def _pallas_ok(dtype, s: int, ipx: int, wx: int, p2: int, tf: int) -> int:
     """Dispatch gate for the Pallas fused kernel (default-on on TPU).
 
-    Requires float32 (the kernel accumulates f32 on the MXU), at least one
-    full stream tile (smaller batches would mostly pad), an inter-tile
+    Returns the stream tile to run with (0 = use the XLA path).  Requires
+    float32 (the kernel accumulates f32 on the MXU), an inter-tile
     overlap smaller than the tile itself (the DMA fetch covers one tile
-    plus the overlap), and a per-step working set within the scoped-VMEM
-    budget (odd periods force a 128-frame tile that can exceed it; see
-    pallas_fused.vmem_bytes).  Set GAR_TPU_USE_PALLAS=0 to force the XLA
-    gather+einsum path.
+    plus the overlap), and a stream tile whose per-step working set fits
+    the scoped-VMEM budget — odd periods force a 128-frame tile, where
+    only a small stream tile fits (pallas_fused.choose_stream_tile).
+    Set GAR_TPU_USE_PALLAS=0 to force the XLA gather+einsum path.
     """
     from ..ops import pallas_fused as pf
 
-    return (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
-            and jax.default_backend() == 'tpu'
-            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-            and s >= pf.STREAM_TILE
-            and wx - ipx < tf * ipx
-            and pf.vmem_bytes(ipx, wx, p2, tf) <= pf.VMEM_BUDGET)
+    if (os.environ.get('GAR_TPU_USE_PALLAS', '1') == '0'
+            or jax.default_backend() != 'tpu'
+            or jnp.dtype(dtype) != jnp.dtype(jnp.float32)
+            or wx - ipx >= tf * ipx):
+        return 0
+    return pf.choose_stream_tile(ipx, wx, p2, tf, s)
 
 
 def _decim_matrix(plan: EnginePlan, period: int = DECIM_PERIOD):
@@ -159,15 +159,16 @@ def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
     R, P, Ipx = _decim_matrix(plan, PALLAS_DECIM_PERIOD)
     wx = R.shape[1]
     tf = pf.frame_tile_for(P)
-    if _pallas_ok(dtype, xs.shape[0], Ipx, wx, P, tf):
+    ts = _pallas_ok(dtype, xs.shape[0], Ipx, wx, P, tf)
+    if ts:
         n_tiles = -(-count // (tf * P))
-        s_pad = -(-xs.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
+        s_pad = -(-xs.shape[0] // ts) * ts
         xlen = n_tiles * tf * Ipx + (wx - Ipx)
         xp = jnp.pad(xs.astype(jnp.float32),
                      ((0, s_pad - xs.shape[0]),
                       (0, max(0, xlen - xs.shape[1]))))[:, :xlen]
         rt = jnp.asarray(R.T, dtype=jnp.float32)
-        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P)
+        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P, ts=ts)
         return y[:xs.shape[0], :count]
 
     R, P, Ipx = _decim_matrix(plan)
@@ -269,15 +270,16 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     # on-chip alignment roll, no host relayout) beats the XLA fused path
     # in paired A/B (6.9 vs 5.9 Gs/s on CD->DAT, 256 streams x 2 s).
     # GAR_TPU_USE_PALLAS=0 opts out.
-    if _pallas_ok(dtype, x.shape[0], Ipx, wx, P2, tf):
+    ts = _pallas_ok(dtype, x.shape[0], Ipx, wx, P2, tf)
+    if ts:
         n_tiles = -(-count // (tf * P2))
-        s_pad = -(-x.shape[0] // pf.STREAM_TILE) * pf.STREAM_TILE
+        s_pad = -(-x.shape[0] // ts) * ts
         xlen = n_tiles * tf * Ipx + (wx - Ipx)
         xp = jnp.pad(x.astype(jnp.float32),
                      ((0, s_pad - x.shape[0]),
                       (0, max(0, xlen - x.shape[1]))))[:, :xlen]
         rt = jnp.asarray(R.T, dtype=jnp.float32)
-        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P2)
+        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P2, ts=ts)
         return y[:x.shape[0], :count]
 
     need = (n_frames - 1) * Ipx + wx

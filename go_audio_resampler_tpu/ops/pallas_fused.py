@@ -58,15 +58,16 @@ def frame_tile_for(p2: int) -> int:
 VMEM_BUDGET = 14 << 20  # scoped-VMEM gate (hardware limit 16M; headroom)
 
 
-def vmem_bytes(ipx: int, wx: int, p2: int, tf: int) -> int:
+def vmem_bytes(ipx: int, wx: int, p2: int, tf: int,
+               ts: int = STREAM_TILE) -> int:
     """Scoped-VMEM footprint of one grid step (mirrors the scratch list).
 
     Odd p2 forces tf = 128 (the flat [S, NF*P2] store needs tf*p2 to be
     lane-aligned), which blows the raw/xv/frames scratch past the 16 MB
-    scoped limit — e.g. 48k->44.1k (P2=147) needs ~27 MB.  The dispatcher
-    calls this and falls back to the XLA fused path when over budget.
+    scoped limit at the default stream tile — e.g. 48k->44.1k (P2=147)
+    needs ~57 MB at ts=64 but fits at ts=8.  The dispatcher picks the
+    largest fitting ts via choose_stream_tile.
     """
-    ts = STREAM_TILE
     wx_pad = _round_up(wx, 128)
     tile_in = tf * ipx
     xv_len = _round_up(max(tile_in + 128, (tf - 1) * ipx + wx_pad), 128)
@@ -80,8 +81,7 @@ def vmem_bytes(ipx: int, wx: int, p2: int, tf: int) -> int:
 
 def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
             ipx: int, wx_pad: int, p2: int, tf: int, tile_in: int,
-            fetch: int):
-    ts = STREAM_TILE
+            fetch: int, ts: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -116,18 +116,22 @@ def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
         y_ref[:, f, :] = out[f * ts:(f + 1) * ts, :]
 
 
-@functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'ts',
+                                             'interpret'))
 def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
-                          p2: int, interpret: bool = False) -> jax.Array:
+                          p2: int, ts: int = STREAM_TILE,
+                          interpret: bool = False) -> jax.Array:
     """y[s, m*P2 + r] = sum_w x[s, m*Ipx + w] * r_t[w, r].
 
-    ``x`` [S, n] float32, S % STREAM_TILE == 0; ``r_t`` [Wx, P2].
+    ``x`` [S, n] float32, S % ts == 0; ``r_t`` [Wx, P2].  ``ts`` is the
+    stream tile (rows per grid step); shapes with large frame tiles
+    (odd p2 -> tf = 128) need a smaller ts to fit scoped VMEM — use
+    choose_stream_tile.
     Computes n_tiles = floor(n / (TF*Ipx)) full frame tiles; the input must
     cover n_tiles*TF*Ipx + (Wx - Ipx) samples (pad with zeros).
     Returns y [S, n_tiles * TF * P2].
     """
     s, n = x.shape
-    ts = STREAM_TILE
     tf = frame_tile_for(p2)
     assert s % ts == 0
     tile_in = tf * ipx
@@ -147,7 +151,7 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
         r_t.astype(jnp.float32))
 
     kernel = functools.partial(_kernel, ipx=ipx, wx_pad=wx_pad, p2=p2,
-                               tf=tf, tile_in=tile_in, fetch=fetch)
+                               tf=tf, tile_in=tile_in, fetch=fetch, ts=ts)
     y3 = pl.pallas_call(
         kernel,
         grid=(s // ts, n_tiles),
@@ -169,3 +173,25 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
     )(x[:, :xlen], r_pad)
     # Row-major [S, NF, P2] -> [S, NF*P2] is a contiguous (free) reshape.
     return y3.reshape(s, n_tiles * tf * p2)
+
+
+def choose_stream_tile(ipx: int, wx: int, p2: int, tf: int,
+                       s: int) -> int:
+    """Largest stream tile (rows per grid step) fitting the VMEM budget.
+
+    Returns 0 when no tile fits or the batch is smaller than the
+    smallest tile (8 rows = one float32 sublane group).
+
+    The estimate covers only the explicit scratch list; Mosaic adds
+    block double-buffers, lane padding of the odd p2 (147 -> 256) and
+    matmul temporaries.  For the tf = 128 family that overhead measured
+    2.28x the estimate (48k->44.1k at ts=16: 19.41 MB actual vs 8.5
+    estimated, compile OOM), so those shapes carry a 2.4x safety factor;
+    the tf <= 32 shapes compile well inside the limit as estimated.
+    """
+    factor = 2.4 if tf > 32 else 1.0
+    for ts in (STREAM_TILE, 32, 16, 8):
+        if (s >= ts
+                and vmem_bytes(ipx, wx, p2, tf, ts) * factor <= VMEM_BUDGET):
+            return ts
+    return 0

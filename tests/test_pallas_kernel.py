@@ -42,6 +42,24 @@ class TestFusedKernelInterpret:
         assert y.shape == y_ref.shape
         np.testing.assert_allclose(y, y_ref, atol=5e-6)
 
+    def test_small_stream_tile_odd_period(self):
+        # ts=8 path (odd p2 -> tf=128 -> small tile needed for VMEM):
+        # synthetic banded matrix with p2=3, ipx=2.
+        rng = np.random.default_rng(1)
+        p2, ipx, wx = 3, 2, 7
+        R = rng.normal(size=(p2, wx))
+        tf = pf.frame_tile_for(p2)
+        assert tf == 128
+        n_tiles = 2
+        n = n_tiles * tf * ipx + (wx - ipx)
+        x = rng.normal(size=(8, n)).astype(np.float32)
+        y = np.asarray(pf.fused_resample_pallas(
+            jnp.asarray(x), jnp.asarray(R.T, dtype=jnp.float32),
+            ipx=ipx, wx=wx, p2=p2, ts=8, interpret=True))
+        y_ref = reference(x, R, ipx, n_tiles * tf)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(y, y_ref, atol=5e-6)
+
     def test_frame_tile_alignment_rule(self):
         # tf*p2 must be 128-divisible (Mosaic block constraint)
         for p2 in (1, 2, 80, 147, 160, 256):
@@ -61,12 +79,17 @@ class TestFusedKernelInterpret:
 
     def test_vmem_budget_gate(self):
         # Odd periods force tf=128, whose working set exceeds the scoped
-        # VMEM limit — the dispatcher must estimate this and fall back.
-        # (Found live: default-on Pallas OOMed 48k->44.1k, P2=147.)
-        for ipx, wx, p2, fits in [(294, 1100, 320, True),    # CD->DAT
-                                  (256, 1155, 128, True),    # decim x2
-                                  (160, 1100, 147, False),   # 48k->44.1k
-                                  (147, 1000, 441, False)]:  # odd period
+        # VMEM limit at the default 64-row stream tile — the dispatcher
+        # must shrink the tile (or fall back entirely).  (Found live:
+        # default-on Pallas OOMed compiling 48k->44.1k, P2=147.)
+        for ipx, wx, p2, ts_exp in [(294, 1100, 320, 64),   # CD->DAT
+                                    (256, 1155, 128, 64),   # decim x2
+                                    (160, 351, 147, 8),     # 48k->44.1k
+                                    (160, 1100, 147, 0)]:   # wide-wx odd
             tf = pf.frame_tile_for(p2)
-            ok = pf.vmem_bytes(ipx, wx, p2, tf) <= pf.VMEM_BUDGET
-            assert ok == fits, (ipx, wx, p2, tf)
+            ts = pf.choose_stream_tile(ipx, wx, p2, tf, 1024)
+            assert ts == ts_exp, (ipx, wx, p2, tf, ts)
+            if ts:
+                assert pf.vmem_bytes(ipx, wx, p2, tf, ts) <= pf.VMEM_BUDGET
+        # batch smaller than the smallest tile -> XLA fallback
+        assert pf.choose_stream_tile(294, 1100, 320, 16, 4) == 0
