@@ -69,7 +69,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from go_audio_resampler_tpu.engine import plan_engine
-    from go_audio_resampler_tpu.engine.oneshot import _oneshot_jit
+    from go_audio_resampler_tpu.engine.oneshot import (_oneshot_jit,
+                                                       _oneshot_aux)
     from go_audio_resampler_tpu.filterdesign import Quality
 
     only = sys.argv[1:]
@@ -86,12 +87,15 @@ def main() -> None:
         plan = plan_engine(float(inr), float(outr), q)
 
         def make(s):
-            # x is passed as a jit ARGUMENT: a captured array would be
-            # baked into the program as a constant and shipped with the
+            # x and the host-prepared aux (general-path banded matrices)
+            # are passed as jit ARGUMENTS: captured arrays would be baked
+            # into the program as constants and shipped with the
             # remote-compile request (HTTP 413 at 2048 x 44100 f32).
             x = jnp.asarray(rng.normal(size=(s, n)).astype(np.float32) * 0.5)
-            g = jax.jit(lambda xx: jnp.sum(_oneshot_jit(plan, xx, dtype)))
-            return lambda: g(x)
+            aux = _oneshot_aux(plan, n, np.dtype(dtype))
+            g = jax.jit(lambda xx, *a: jnp.sum(
+                _oneshot_jit(plan, xx, dtype, *a)))
+            return lambda: g(x, *aux)
         return slope_msps(make, max(s_small // scale, 1),
                           max(s_large // scale, 2), n)
 

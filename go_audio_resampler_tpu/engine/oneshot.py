@@ -65,8 +65,20 @@ def _rational_matrix(plan: EnginePlan):
 
 
 def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
-                        dtype, tile: int = 2048) -> jax.Array:
-    """Gather+einsum polyphase application with host-constant indices."""
+                        dtype, tile: int = 256, aux=None) -> jax.Array:
+    """Banded batched matmul for non-exact-rational ratios (MXU path).
+
+    The walk is quasi-periodic, so no single per-period matrix exists —
+    but within a tile of P outputs the windows span a bounded range, so
+    each tile gets its own banded matrix M[t][p, off_p : off_p+T2] =
+    K[p] (the host-interpolated coefficient row) and the whole apply is
+    one batched matmul ``einsum('stw,tpw->stp')`` over gathered
+    super-frames.  This replaces the per-output gather + VPU dot (the
+    round-1 path measured 0.16 Gs/s; the banded form is MXU-bound like
+    the exact-rational path).  The matrices depend on (plan, count) and
+    are device-cached; they are passed as arguments, not baked as
+    constants (a 1-s program's matrices are ~50 MB).
+    """
     div, phase, frac = _poly_walk_host(plan, count)
     assert int(div[-1]) + plan.poly_taps <= u.shape[1], \
         "internal: flush padding did not cover the last output window"
@@ -74,23 +86,63 @@ def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
     x = (frac.astype(np.float64) / _FRAC)[:, None]
     K_host = (plan.bank_a[phase] + x * (plan.bank_b[phase] +
               x * (plan.bank_c[phase] + x * plan.bank_d[phase])))
+    t2 = plan.poly_taps
+    if aux is not None:
+        # Matrices prepared host-side by oneshot() and passed as jit
+        # ARGUMENTS (a 1-s program's matrices are ~50 MB — baking them
+        # as constants would bloat every compile).
+        starts_d, M_d = aux
+        w_band = int(M_d.shape[2])
+    else:
+        starts_np, M_np = _general_matrices(plan, count, tile)
+        starts_d = jnp.asarray(starts_np, dtype=jnp.int32)
+        M_d = jnp.asarray(M_np, dtype=dtype)
+        w_band = M_np.shape[2]
+    if u.shape[1] < int(div[-1]) + w_band:
+        u = jnp.pad(u, ((0, 0), (0, int(div[-1]) + w_band - u.shape[1])))
+    frames = gather_windows(u, starts_d, w_band)       # [S, n_tiles, W]
+    y = jnp.einsum('stw,tpw->stp', frames, M_d.astype(dtype),
+                   preferred_element_type=u.dtype,
+                   precision=lax.Precision.HIGHEST)
+    return y.reshape(u.shape[0], -1)[:, :count]
+
+
+_GENERAL_CACHE: dict = {}
+GENERAL_TILE = 256
+
+
+def _general_matrices(plan: EnginePlan, count: int,
+                      tile: int = GENERAL_TILE):
+    """Host-side banded tile matrices for the general path (cached).
+
+    Returns (starts [n_tiles] int64, M [n_tiles, tile, W] float64) with
+    M[t][p, off_p : off_p+T2] = the interpolated coefficient row of
+    output t*tile + p, offset relative to the tile's first window.
+    """
+    key = (id(plan), count, tile)
+    cached = _GENERAL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    div, phase, frac = _poly_walk_host(plan, count)
+    x = (frac.astype(np.float64) / _FRAC)[:, None]
+    K_host = (plan.bank_a[phase] + x * (plan.bank_b[phase] +
+              x * (plan.bank_c[phase] + x * plan.bank_d[phase])))
+    t2 = plan.poly_taps
     padded = -(-count // tile) * tile
-    pad = padded - count
-    div_p = np.pad(div, (0, pad))
-    K_p = np.pad(K_host, ((0, pad), (0, 0)))
-    div_r = jnp.asarray(div_p.reshape(-1, tile), dtype=jnp.int32)
-    K_r = jnp.asarray(K_p.reshape(-1, tile, K_host.shape[1]), dtype=dtype)
-
-    def tile_fn(args):
-        div_t, K_t = args
-        w = gather_windows(u, div_t, plan.poly_taps)          # [S, tile, T2]
-        return jnp.einsum('sct,ct->sc', w, K_t,
-                          preferred_element_type=u.dtype,
-                          precision=lax.Precision.HIGHEST)
-
-    y = lax.map(tile_fn, (div_r, K_r))                        # [n_tiles, S, tile]
-    y = jnp.transpose(y, (1, 0, 2)).reshape(u.shape[0], padded)
-    return y[:, :count]
+    div_p = np.pad(div, (0, padded - count), mode='edge')
+    K_p = np.pad(K_host, ((0, padded - count), (0, 0)))
+    div_r = div_p.reshape(-1, tile)                # [n_tiles, P]
+    starts = div_r[:, 0].copy()                    # [n_tiles]
+    offs = div_r - starts[:, None]                 # >= 0, monotone
+    w_band = int(offs[:, -1].max()) + t2
+    n_tiles = div_r.shape[0]
+    M = np.zeros((n_tiles, tile, w_band), dtype=np.float64)
+    rows = np.repeat(np.arange(n_tiles), tile)
+    cols = np.tile(np.arange(tile), n_tiles)
+    for t in range(t2):
+        M[rows, cols, offs.ravel() + t] = K_p[:, t]
+    _GENERAL_CACHE[key] = (starts, M)
+    return _GENERAL_CACHE[key]
 
 
 _DECIM_CACHE: dict = {}
@@ -324,11 +376,28 @@ def oneshot(plan: EnginePlan, x: jax.Array, dtype=None) -> jax.Array:
     if x.ndim != 2:
         raise ValueError(f"oneshot expects [streams, samples], got {x.shape}")
     dtype = jnp.dtype(dtype or x.dtype)
-    return _oneshot_jit(plan, jnp.asarray(x), dtype.name)
+    aux = _oneshot_aux(plan, int(np.shape(x)[1]), dtype)
+    return _oneshot_jit(plan, jnp.asarray(x), dtype.name, *aux)
+
+
+def _oneshot_aux(plan: EnginePlan, n: int, dtype):
+    """Host-prepared device arguments for the jitted program.
+
+    The general (non-exact-rational) path's banded tile matrices are
+    tens of MB per (plan, length); passing them as arguments keeps them
+    out of the compiled program (and off the remote-compile payload).
+    """
+    if (plan.kind == 'two_stage' and not plan.is_rational_exact
+            and plan.lengths.canonical(n) > 0 and n > 0):
+        starts, M = _general_matrices(plan, plan.lengths.canonical(n))
+        return (jnp.asarray(starts, dtype=jnp.int32),
+                jnp.asarray(M, dtype=dtype))
+    return ()
 
 
 @partial(jax.jit, static_argnums=(0, 2))
-def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str) -> jax.Array:
+def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str,
+                 *aux) -> jax.Array:
     dtype = jnp.dtype(dtype_name)
     x = x.astype(dtype)
     n = x.shape[1]
@@ -381,4 +450,5 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str) -> jax.Array:
     xext = jnp.pad(x, ((0, 0), (t1 - 1, z)))
     coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
     u = prestage_apply(coeffs, xext, f)                       # [S, F*(n+z)]
-    return _poly_apply_general(plan, u, canonical, dtype)
+    return _poly_apply_general(plan, u, canonical, dtype,
+                               aux=aux if aux else None)
