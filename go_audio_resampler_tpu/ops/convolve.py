@@ -8,12 +8,17 @@ primitive ``conv1d_poly(x, kernels, stride)`` computing
 
 Two lowerings:
 
-- ``xla``:    ``lax.conv_general_dilated`` — the natural form on TPU,
-              where XLA maps it onto the MXU.
-- ``frames``: tiled windows-gather + einsum.  Mathematically identical;
-              used on CPU where XLA:CPU's conv compilation is pathologically
-              slow for long audio kernels (50+ s per shape), and available
-              on TPU as an alternative MXU mapping.
+- ``xla``:    ``lax.conv_general_dilated`` — the textbook form; XLA:TPU
+              lowers long-kernel stride-1 audio convs poorly (measured
+              ~25x slower than the banded form for a 200-tap prestage).
+- ``frames``: tiled windows-gather + einsum.  Used on CPU where
+              XLA:CPU's conv compilation is pathologically slow for long
+              audio kernels (50+ s per shape).
+- ``banded``: grouped-frames banded matmul — P outputs per frame read a
+              shared (P-1)*stride+T window against a banded [W, P*F]
+              matrix (the same structure as the engine's fused rational/
+              decimation paths).  Read amplification 1 + T/(P*stride)
+              instead of T; one big MXU matmul.  TPU default.
 
 The default picks per backend at trace time; ``set_conv_impl`` overrides.
 """
@@ -28,9 +33,9 @@ _IMPL_OVERRIDE: str | None = None
 
 
 def set_conv_impl(impl: str | None) -> None:
-    """Force a lowering: 'xla', 'frames', or None for per-backend default."""
+    """Force a lowering: 'xla', 'frames', 'banded', or None (default)."""
     global _IMPL_OVERRIDE
-    if impl not in (None, 'xla', 'frames'):
+    if impl not in (None, 'xla', 'frames', 'banded'):
         raise ValueError(f"unknown conv impl: {impl}")
     _IMPL_OVERRIDE = impl
 
@@ -38,7 +43,7 @@ def set_conv_impl(impl: str | None) -> None:
 def _impl() -> str:
     if _IMPL_OVERRIDE is not None:
         return _IMPL_OVERRIDE
-    return 'frames' if jax.default_backend() == 'cpu' else 'xla'
+    return 'frames' if jax.default_backend() == 'cpu' else 'banded'
 
 
 def _conv_xla(x: jax.Array, kernels: jax.Array, stride: int) -> jax.Array:
@@ -80,12 +85,54 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
     return y[:, :, :n_out]
 
 
+def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
+                 period: int = 256) -> jax.Array:
+    """Grouped banded-matmul lowering (see module docstring)."""
+    import numpy as np
+
+    n = x.shape[1]
+    f, t = kernels.shape
+    n_out = (n - t) // stride + 1
+    p = min(period, max(n_out, 1))
+    nf = -(-n_out // p)
+    w = (p - 1) * stride + t
+    # Banded matrix R[ii*stride + tau, ii*f + ff] = kernels[ff, tau],
+    # built on device from host-constant index arrays (kernels may be a
+    # traced value).
+    ii = np.repeat(np.arange(p), f * t)
+    ff = np.tile(np.repeat(np.arange(f), t), p)
+    tau = np.tile(np.arange(t), p * f)
+    rows = ii * stride + tau
+    cols = ii * f + ff
+    vals = kernels.astype(x.dtype)[jnp.asarray(ff), jnp.asarray(tau)]
+    r = jnp.zeros((w, p * f), x.dtype).at[
+        jnp.asarray(rows), jnp.asarray(cols)].set(vals)
+    need = (nf - 1) * p * stride + w
+    if n < need:
+        x = jnp.pad(x, ((0, 0), (0, need - n)))
+    starts = jnp.asarray(np.arange(nf, dtype=np.int64) * p * stride,
+                         dtype=jnp.int32)
+    frames = jnp.take(x, jnp.asarray(
+        np.arange(nf, dtype=np.int64)[:, None] * p * stride
+        + np.arange(w)[None, :], dtype=jnp.int32), axis=1)  # [S, nf, W]
+    del starts
+    y = jnp.einsum('snw,wk->snk', frames, r,
+                   preferred_element_type=x.dtype,
+                   precision=lax.Precision.HIGHEST)          # [S, nf, P*F]
+    y = y.reshape(x.shape[0], nf, p, f)
+    y = jnp.transpose(y, (0, 3, 1, 2)).reshape(x.shape[0], f, nf * p)
+    return y[:, :, :n_out]
+
+
 def conv1d_poly(x: jax.Array, kernels: jax.Array, stride: int = 1) -> jax.Array:
     """y[s, f, i] = sum_t x[s, i*stride + t] * kernels[f, t]  ('VALID').
 
     ``kernels`` rows are tap-reversed filters (design-time convention), so
     this correlation implements the reference's convolution direction.
     """
-    if _impl() == 'xla':
+    impl = _impl()
+    if impl == 'xla':
         return _conv_xla(x, kernels, stride)
+    if impl == 'banded':
+        return _conv_banded(x, kernels, stride)
     return _conv_frames(x, kernels, stride)

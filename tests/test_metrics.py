@@ -99,3 +99,28 @@ class TestDCAndAmplitude:
     def test_amplitude(self):
         x = signals.sine(8192, 440.0, 48000, 0.7)
         assert metrics.amplitude(x) == pytest.approx(0.7, abs=1e-3)
+
+
+class TestConvLowerings:
+    def test_banded_matches_frames(self):
+        # The TPU-default banded lowering must equal the frames reference
+        # across kernel lengths, strides, and multi-filter shapes.
+        import jax.numpy as jnp
+        from go_audio_resampler_tpu.ops import convolve as cv
+        rng = np.random.default_rng(0)
+        try:
+            for s, n, f, t, stride in [(3, 5000, 2, 200, 1),
+                                       (2, 1000, 1, 33, 1),
+                                       (2, 4000, 1, 901, 2),
+                                       (1, 300, 4, 16, 3),
+                                       (2, 250, 2, 250, 1)]:
+                x = jnp.asarray(rng.normal(size=(s, n)))
+                k = jnp.asarray(rng.normal(size=(f, t)))
+                cv.set_conv_impl('frames')
+                a = np.asarray(cv.conv1d_poly(x, k, stride))
+                cv.set_conv_impl('banded')
+                b = np.asarray(cv.conv1d_poly(x, k, stride))
+                assert a.shape == b.shape
+                np.testing.assert_allclose(b, a, rtol=0, atol=1e-12)
+        finally:
+            cv.set_conv_impl(None)
