@@ -64,9 +64,15 @@ def slope_msps(make_fn, s_small, s_large, n):
 
 
 def main() -> None:
+    import os
     import sys
 
     import jax
+    # Honor an explicit JAX_PLATFORMS=cpu even where a platform plugin
+    # re-appends itself to the platform list (the axon tunnel does): a
+    # "CPU smoke" must not silently run on the TPU.
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from go_audio_resampler_tpu.engine import plan_engine
     from go_audio_resampler_tpu.engine.oneshot import (_oneshot_jit,
@@ -126,6 +132,12 @@ def main() -> None:
     if wanted("ml_ingest_256x_48k_16k"):
         results["ml_ingest_256x_48k_16k"] = oneshot_bench(
             48000, 16000, Quality.HIGH, 48000, 128, 2048)
+
+    # 5b. hi-res upsampling 48k->96k (dft_up topology: the banded-matmul
+    # prestage is the whole pipeline)
+    if wanted("hires_up_48k_96k"):
+        results["hires_up_48k_96k"] = oneshot_bench(
+            48000, 96000, Quality.HIGH, 48000, 128, 2048)
 
     # 6. streaming serving path: fused per-block step, 16 blocks chained
     # on-device (slope between batch sizes cancels launch overhead)
