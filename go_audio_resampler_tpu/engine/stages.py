@@ -131,11 +131,10 @@ def prestage_apply(coeffs: jax.Array, xext: jax.Array, factor: int) -> jax.Array
     is the reference's polyphase convolution.  Lowered by XLA as a strided
     convolution (MXU-eligible).
     """
-    t1 = coeffs.shape[1]
-    n_out = xext.shape[1] - t1 + 1
-    out = conv1d_poly(xext, coeffs, stride=1)    # [S, F, n_out]
-    u = jnp.transpose(out, (0, 2, 1)).reshape(xext.shape[0], n_out * factor)
-    return u
+    from ..ops.convolve import conv1d_poly_interleaved
+
+    del factor  # implied by coeffs.shape[0]
+    return conv1d_poly_interleaved(xext, coeffs)
 
 
 def prestage_process(coeffs: jax.Array, state: PrestageState, x: jax.Array,

@@ -86,40 +86,78 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
 
 
 def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
-                 period: int = 256) -> jax.Array:
-    """Grouped banded-matmul lowering (see module docstring)."""
+                 period: int = 256, interleaved: bool = False) -> jax.Array:
+    """Grouped banded-matmul lowering (see module docstring).
+
+    With ``interleaved`` the result is the flat [S, n_out*F] stream
+    y[s, i*F + ff] (the polyphase-upsampling order) — the band's natural
+    output layout, skipping two whole-array transposes.
+    """
+    import os
+
     import numpy as np
 
     n = x.shape[1]
     f, t = kernels.shape
     n_out = (n - t) // stride + 1
-    p = min(period, max(n_out, 1))
+
+    def band_matrix(p):
+        w = (p - 1) * stride + t
+        # R[ii*stride + tau, ii*f + ff] = kernels[ff, tau], built on
+        # device from host-constant index arrays (kernels may be traced).
+        ii = np.repeat(np.arange(p), f * t)
+        ff = np.tile(np.repeat(np.arange(f), t), p)
+        tau = np.tile(np.arange(t), p * f)
+        vals = kernels.astype(x.dtype)[jnp.asarray(ff), jnp.asarray(tau)]
+        return jnp.zeros((w, p * f), x.dtype).at[
+            jnp.asarray(ii * stride + tau),
+            jnp.asarray(ii * f + ff)].set(vals), w
+
+    # The band has exactly the fused-resampling structure (P*F outputs
+    # per frame, frames advance P*stride), so the Pallas DMA-framing
+    # kernel applies where it fits; it reads the overlapping windows by
+    # DMA instead of materializing frames in HBM.  A smaller period
+    # keeps its per-step VMEM comfortably inside budget (window overlap
+    # is free for the DMA path, so the larger read amplification of a
+    # small p does not apply to it).
+    y3 = None
+    p = min(128, max(n_out, 1))
     nf = -(-n_out // p)
-    w = (p - 1) * stride + t
-    # Banded matrix R[ii*stride + tau, ii*f + ff] = kernels[ff, tau],
-    # built on device from host-constant index arrays (kernels may be a
-    # traced value).
-    ii = np.repeat(np.arange(p), f * t)
-    ff = np.tile(np.repeat(np.arange(f), t), p)
-    tau = np.tile(np.arange(t), p * f)
-    rows = ii * stride + tau
-    cols = ii * f + ff
-    vals = kernels.astype(x.dtype)[jnp.asarray(ff), jnp.asarray(tau)]
-    r = jnp.zeros((w, p * f), x.dtype).at[
-        jnp.asarray(rows), jnp.asarray(cols)].set(vals)
-    need = (nf - 1) * p * stride + w
-    if n < need:
-        x = jnp.pad(x, ((0, 0), (0, need - n)))
-    starts = jnp.asarray(np.arange(nf, dtype=np.int64) * p * stride,
-                         dtype=jnp.int32)
-    frames = jnp.take(x, jnp.asarray(
-        np.arange(nf, dtype=np.int64)[:, None] * p * stride
-        + np.arange(w)[None, :], dtype=jnp.int32), axis=1)  # [S, nf, W]
-    del starts
-    y = jnp.einsum('snw,wk->snk', frames, r,
-                   preferred_element_type=x.dtype,
-                   precision=lax.Precision.HIGHEST)          # [S, nf, P*F]
-    y = y.reshape(x.shape[0], nf, p, f)
+    if (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
+            and jax.default_backend() == 'tpu'
+            and x.dtype == jnp.float32 and nf > 1):
+        from . import pallas_fused as pf
+        ipx, p2 = p * stride, p * f
+        r_pal, w = band_matrix(p)
+        tf = pf.frame_tile_for(p2)
+        ts = pf.choose_stream_tile(ipx, w, p2, tf, x.shape[0])
+        if ts and w - ipx < tf * ipx:
+            n_tiles = -(-nf // tf)
+            s_pad = -(-x.shape[0] // ts) * ts
+            xlen = n_tiles * tf * ipx + (w - ipx)
+            xp = jnp.pad(x, ((0, s_pad - x.shape[0]),
+                             (0, max(0, xlen - n))))[:, :xlen]
+            yk = pf.fused_resample_pallas(xp, r_pal, ipx=ipx, wx=w, p2=p2,
+                                          ts=ts)
+            y3 = yk[:x.shape[0], :nf * p2].reshape(x.shape[0], nf, p2)
+    if y3 is None:
+        p = min(period, max(n_out, 1))
+        nf = -(-n_out // p)
+        r, w = band_matrix(p)
+        need = (nf - 1) * p * stride + w
+        if n < need:
+            x = jnp.pad(x, ((0, 0), (0, need - n)))
+        frames = jnp.take(x, jnp.asarray(
+            np.arange(nf, dtype=np.int64)[:, None] * p * stride
+            + np.arange(w)[None, :], dtype=jnp.int32), axis=1)  # [S,nf,W]
+        y3 = jnp.einsum('snw,wk->snk', frames, r,
+                        preferred_element_type=x.dtype,
+                        precision=lax.Precision.HIGHEST)      # [S, nf, P*F]
+    if interleaved:
+        # y3[s, n, ii*f + ff] = filter ff at output n*p + ii — already
+        # the polyphase-interleaved stream order; flatten for free.
+        return y3.reshape(x.shape[0], nf * p * f)[:, :n_out * f]
+    y = y3.reshape(x.shape[0], nf, p, f)
     y = jnp.transpose(y, (0, 3, 1, 2)).reshape(x.shape[0], f, nf * p)
     return y[:, :, :n_out]
 
@@ -136,3 +174,18 @@ def conv1d_poly(x: jax.Array, kernels: jax.Array, stride: int = 1) -> jax.Array:
     if impl == 'banded':
         return _conv_banded(x, kernels, stride)
     return _conv_frames(x, kernels, stride)
+
+
+def conv1d_poly_interleaved(x: jax.Array, kernels: jax.Array) -> jax.Array:
+    """u[s, i*F + ff] = sum_t x[s, i + t] * kernels[ff, t] (stride 1).
+
+    The polyphase-upsampled stream in its natural interleaved order.
+    The banded lowering emits this layout directly (no transposes); the
+    other lowerings transpose the [S, F, n_out] conv output.
+    """
+    if _impl() == 'banded':
+        return _conv_banded(x, kernels, 1, interleaved=True)
+    out = conv1d_poly(x, kernels, 1)              # [S, F, n_out]
+    f = kernels.shape[0]
+    return jnp.transpose(out, (0, 2, 1)).reshape(
+        x.shape[0], out.shape[2] * f)
