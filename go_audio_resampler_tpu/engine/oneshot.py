@@ -145,6 +145,50 @@ def _general_matrices(plan: EnginePlan, count: int,
     return _GENERAL_CACHE[key]
 
 
+def _cubic_matrices(plan: EnginePlan, count: int,
+                    tile: int = GENERAL_TILE):
+    """Banded tile matrices for the cubic (QUICK) walk (cached).
+
+    Same structure as _general_matrices with 4-tap rows: output j reads
+    histbuf[i_j .. i_j+3] (histbuf = x left-padded by 3) against the
+    Catmull-Rom basis evaluated at frac_j.  The basis weights are
+    extracted numerically by pushing unit taps through the hermite
+    formula (stages.hermite4), so the matmul is bit-faithful to it.
+    """
+    key = ('cubic', id(plan), count, tile)
+    cached = _GENERAL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    at = np.arange(count, dtype=np.int64) * plan.cubic_step
+    i = (at >> CubicSim.FRAC_BITS).astype(np.int64)
+    fr = (at & ((1 << CubicSim.FRAC_BITS) - 1)).astype(np.float64) \
+        / (1 << CubicSim.FRAC_BITS)
+    # Basis: y = a x^3 + b x^2 + c x + s0 with a, b, c linear in taps.
+    K = np.empty((count, 4), dtype=np.float64)
+    for k in range(4):
+        sm1, s0, s1, s2 = (1.0 if k == 0 else 0.0), (1.0 if k == 1 else 0.0), \
+            (1.0 if k == 2 else 0.0), (1.0 if k == 3 else 0.0)
+        b = 0.5 * (s1 + sm1) - s0
+        a = (1.0 / 6.0) * (s2 - s1 + sm1 - s0 - 4.0 * b)
+        c = s1 - s0 - a - b
+        K[:, k] = ((a * fr + b) * fr + c) * fr + s0
+    padded = -(-count // tile) * tile
+    div_p = np.pad(i, (0, padded - count), mode='edge')
+    K_p = np.pad(K, ((0, padded - count), (0, 0)))
+    div_r = div_p.reshape(-1, tile)
+    starts = div_r[:, 0].copy()
+    offs = div_r - starts[:, None]
+    w_band = int(offs[:, -1].max()) + 4
+    n_tiles = div_r.shape[0]
+    M = np.zeros((n_tiles, tile, w_band), dtype=np.float64)
+    rows = np.repeat(np.arange(n_tiles), tile)
+    cols = np.tile(np.arange(tile), n_tiles)
+    for t in range(4):
+        M[rows, cols, offs.ravel() + t] = K_p[:, t]
+    _GENERAL_CACHE[key] = (starts, M)
+    return _GENERAL_CACHE[key]
+
+
 _DECIM_CACHE: dict = {}
 DECIM_PERIOD = 256  # outputs per frame for the decimation frames-matmul
 # Smaller period for the Pallas decim kernel: P=128 keeps the per-step
@@ -387,9 +431,14 @@ def _oneshot_aux(plan: EnginePlan, n: int, dtype):
     tens of MB per (plan, length); passing them as arguments keeps them
     out of the compiled program (and off the remote-compile payload).
     """
-    if (plan.kind == 'two_stage' and not plan.is_rational_exact
-            and plan.lengths.canonical(n) > 0 and n > 0):
+    if plan.lengths.canonical(n) <= 0 or n <= 0:
+        return ()
+    if plan.kind == 'two_stage' and not plan.is_rational_exact:
         starts, M = _general_matrices(plan, plan.lengths.canonical(n))
+        return (jnp.asarray(starts, dtype=jnp.int32),
+                jnp.asarray(M, dtype=dtype))
+    if plan.kind == 'cubic':
+        starts, M = _cubic_matrices(plan, plan.lengths.canonical(n))
         return (jnp.asarray(starts, dtype=jnp.int32),
                 jnp.asarray(M, dtype=dtype))
     return ()
@@ -408,13 +457,22 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str,
     z = lm.flush_pad(n)
 
     if plan.kind == 'cubic':
-        at = np.arange(canonical, dtype=np.int64) * plan.cubic_step
-        i = (at >> CubicSim.FRAC_BITS).astype(np.int64)
-        frac = (at & ((1 << CubicSim.FRAC_BITS) - 1)).astype(np.float64) \
-            / (1 << CubicSim.FRAC_BITS)
-        histbuf = jnp.pad(x, ((0, 0), (3, 0)))
-        w = gather_windows(histbuf, jnp.asarray(i, dtype=jnp.int32), 4)
-        return hermite4(w, jnp.asarray(frac, dtype=dtype))
+        if aux:
+            starts_d, M_d = aux
+        else:
+            starts_np, M_np = _cubic_matrices(plan, canonical)
+            starts_d = jnp.asarray(starts_np, dtype=jnp.int32)
+            M_d = jnp.asarray(M_np, dtype=dtype)
+        w_band = int(M_d.shape[2])
+        at_last = (canonical - 1) * plan.cubic_step
+        i_last = int(at_last >> CubicSim.FRAC_BITS)
+        histbuf = jnp.pad(x, ((0, 0), (3, max(0, i_last + w_band + 1
+                                              - (n + 3)))))
+        frames = gather_windows(histbuf, starts_d, w_band)
+        y = jnp.einsum('stw,tpw->stp', frames, M_d.astype(dtype),
+                       preferred_element_type=dtype,
+                       precision=lax.Precision.HIGHEST)
+        return y.reshape(x.shape[0], -1)[:, :canonical]
 
     if plan.kind == 'dft_up':
         t1, f = plan.pre_taps, plan.factor
