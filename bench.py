@@ -52,7 +52,7 @@ def main() -> None:
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
-    r, p2, ipx = osm._fused_rational_matrix(plan)
+    r, p2, ipx, _lam = osm._fused_rational_matrix(plan)
     rt = jnp.asarray(r.T, dtype=jnp.float32)
     wx = r.shape[1]
     blk = 16 * ipx                       # 2352 input samples per block

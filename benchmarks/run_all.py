@@ -147,7 +147,7 @@ def main() -> None:
         osmod = importlib.import_module(
             'go_audio_resampler_tpu.engine.oneshot')
         plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
-        r, p2, ipx = osmod._fused_rational_matrix(plan)
+        r, p2, ipx, _lam = osmod._fused_rational_matrix(plan)
         rt = jnp.asarray(r.T, dtype=jnp.float32)
         wx = r.shape[1]
         blk = 16 * ipx
@@ -204,6 +204,48 @@ def main() -> None:
             return f
         results["pipeline_48k_8k_high"] = slope_msps(
             make_pipeline, max(8 // scale, 1), max(64 // scale, 2), n)
+
+    # 8b. deep pipeline chain: 192k->8k (ratio 1/24 = 4 half-bands + 2/3
+    # residual) through the fused composite banded operator.
+    if wanted("pipeline_192k_8k_high"):
+        import go_audio_resampler_tpu as gar
+        n = 192000
+
+        def make_pipeline_deep(s):
+            r = gar.new_resampler(gar.Config(
+                192000, 8000, channels=s, max_input_size=65536,
+                quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
+                dtype=np.float32))
+            chans = [rng.normal(size=n).astype(np.float32) * 0.5
+                     for _ in range(s)]
+
+            def f():
+                out = r.process_multi(chans)
+                return float(np.asarray(out[0][:1]).sum())
+            return f
+        results["pipeline_192k_8k_high"] = slope_msps(
+            make_pipeline_deep, max(8 // scale, 1), max(32 // scale, 2), n)
+
+    # 8c. end-to-end streaming: host-inclusive EngineCore.process at
+    # realistic block sizes (whole-system companion to the fused-step
+    # kernel number: includes the host FIFO, chunking, device dispatch
+    # and output download).
+    for blk in (2048, 8192):
+        if wanted(f"streaming_e2e_44k_48k_b{blk}"):
+            from go_audio_resampler_tpu.engine import EngineCore
+            plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+            n = 44100
+
+            def make_e2e(s, blk=blk):
+                eng = EngineCore(plan, batch=s, block=blk, dtype=np.float32)
+                x = rng.normal(size=(s, n)).astype(np.float32) * 0.5
+
+                def f():
+                    out = eng.process(x)
+                    return float(out[0, :1].sum()) if out.size else 0.0
+                return f
+            results[f"streaming_e2e_44k_48k_b{blk}"] = slope_msps(
+                make_e2e, max(32 // scale, 1), max(256 // scale, 2), n)
 
     # 9. FFT overlap-save vs banded-matmul decimation (paired): the FFT
     # lowering's throughput is length-independent; the matmul path wins

@@ -30,6 +30,7 @@ from .engine import EngineCore, plan_engine
 from .engine.plan import MIN_RATIO, MAX_RATIO
 from .filterdesign import Quality as EngineQuality
 from .pipeline import StageSpec, StageType, QualityParams, build_pipeline
+from .pipeline.fused import BandedPlan, fuse_chain
 
 # --- constants (constants.go) ---------------------------------------------
 
@@ -331,6 +332,23 @@ class Resampler:
         if not self._engines:
             # ratio within tolerance of 1.0: identity pipeline
             self._engines = []
+        # Whole-chain fusion (pipeline/fused.py): when every stage is a
+        # periodic banded operator, the chain collapses into ONE composite
+        # operator streamed as a single device program — no host hand-offs
+        # between stages (the round-2 bottleneck: 0.3 vs 19 Gs/s).  The
+        # per-stage engines are kept for introspection and as the exact
+        # semantic reference (GAR_TPU_FUSE_PIPELINE=0 forces them).
+        self._fused = None
+        import os as _os
+        if (len(self._engines) >= 2
+                and _os.environ.get('GAR_TPU_FUSE_PIPELINE', '1') != '0'
+                and all(isinstance(e, EngineCore) for e in self._engines)):
+            op = fuse_chain([e.plan for e in self._engines])
+            if op is not None:
+                latency = sum(e.get_latency() for e in self._engines)
+                bplan = BandedPlan(op, self.ratio, latency=latency)
+                self._fused = EngineCore(bplan, batch=config.channels,
+                                         block=block, dtype=self.dtype)
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False
@@ -341,7 +359,12 @@ class Resampler:
     # -- core single/multi channel processing ------------------------------
 
     def _chain(self, frames: np.ndarray) -> np.ndarray:
-        """Push frames through all stage engines (constant.go:255-293)."""
+        """Push frames through the stage chain (constant.go:255-293).
+
+        With a fused composite operator the whole chain is one device
+        program; otherwise each stage engine runs in sequence."""
+        if self._fused is not None:
+            return self._fused.process(frames)
         cur = frames
         for eng in self._engines:
             cur = eng.process(cur)
@@ -466,8 +489,12 @@ class Resampler:
 
     def _flush_all(self) -> np.ndarray:
         """Front-to-back tail propagation (constant.go:349-389, issue #37):
-        flush stage i, push its tail through stages i+1.., repeat."""
+        flush stage i, push its tail through stages i+1.., repeat.  The
+        fused composite drains in one step (its count model folds the
+        per-stage flush semantics exactly)."""
         self._flushed = True
+        if self._fused is not None:
+            return self._take(self._fused.flush(), None)
         outs = []
         n = len(self._engines)
         for i in range(n):
@@ -495,6 +522,8 @@ class Resampler:
         """Clear all state (constant.go:429-444)."""
         for eng in self._engines:
             eng.reset()
+        if self._fused is not None:
+            self._fused.reset()
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False

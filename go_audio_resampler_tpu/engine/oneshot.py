@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections import OrderedDict
 from functools import partial
 
 import numpy as np
@@ -79,14 +80,9 @@ def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
     are device-cached; they are passed as arguments, not baked as
     constants (a 1-s program's matrices are ~50 MB).
     """
-    div, phase, frac = _poly_walk_host(plan, count)
+    div, _phase, _frac = _poly_walk_host(plan, count)
     assert int(div[-1]) + plan.poly_taps <= u.shape[1], \
         "internal: flush padding did not cover the last output window"
-    # Coefficient rows can be computed host-side in float64 for accuracy.
-    x = (frac.astype(np.float64) / _FRAC)[:, None]
-    K_host = (plan.bank_a[phase] + x * (plan.bank_b[phase] +
-              x * (plan.bank_c[phase] + x * plan.bank_d[phase])))
-    t2 = plan.poly_taps
     if aux is not None:
         # Matrices prepared host-side by oneshot() and passed as jit
         # ARGUMENTS (a 1-s program's matrices are ~50 MB — baking them
@@ -107,8 +103,33 @@ def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
     return y.reshape(u.shape[0], -1)[:, :count]
 
 
-_GENERAL_CACHE: dict = {}
 GENERAL_TILE = 256
+
+# LRU cache of host-side banded matrices, keyed on the plan FINGERPRINT
+# (not id — see EnginePlan.fingerprint) and bounded in bytes: a service
+# hitting many distinct input lengths otherwise grows without limit
+# (each (plan, length) entry is tens of MB).
+_GENERAL_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_GENERAL_CACHE_BYTES = 0
+GENERAL_CACHE_LIMIT = int(os.environ.get(
+    'GAR_TPU_MATRIX_CACHE_MB', '512')) * (1 << 20)
+
+
+def _cache_get(key):
+    val = _GENERAL_CACHE.get(key)
+    if val is not None:
+        _GENERAL_CACHE.move_to_end(key)
+    return val
+
+
+def _cache_put(key, val):
+    global _GENERAL_CACHE_BYTES
+    _GENERAL_CACHE[key] = val
+    _GENERAL_CACHE_BYTES += sum(a.nbytes for a in val)
+    while _GENERAL_CACHE_BYTES > GENERAL_CACHE_LIMIT and len(_GENERAL_CACHE) > 1:
+        _, old = _GENERAL_CACHE.popitem(last=False)
+        _GENERAL_CACHE_BYTES -= sum(a.nbytes for a in old)
+    return val
 
 
 def _general_matrices(plan: EnginePlan, count: int,
@@ -119,8 +140,8 @@ def _general_matrices(plan: EnginePlan, count: int,
     M[t][p, off_p : off_p+T2] = the interpolated coefficient row of
     output t*tile + p, offset relative to the tile's first window.
     """
-    key = (id(plan), count, tile)
-    cached = _GENERAL_CACHE.get(key)
+    key = (plan.fingerprint, count, tile)
+    cached = _cache_get(key)
     if cached is not None:
         return cached
     div, phase, frac = _poly_walk_host(plan, count)
@@ -141,8 +162,7 @@ def _general_matrices(plan: EnginePlan, count: int,
     cols = np.tile(np.arange(tile), n_tiles)
     for t in range(t2):
         M[rows, cols, offs.ravel() + t] = K_p[:, t]
-    _GENERAL_CACHE[key] = (starts, M)
-    return _GENERAL_CACHE[key]
+    return _cache_put(key, (starts, M))
 
 
 def _cubic_matrices(plan: EnginePlan, count: int,
@@ -155,8 +175,8 @@ def _cubic_matrices(plan: EnginePlan, count: int,
     extracted numerically by pushing unit taps through the hermite
     formula (stages.hermite4), so the matmul is bit-faithful to it.
     """
-    key = ('cubic', id(plan), count, tile)
-    cached = _GENERAL_CACHE.get(key)
+    key = ('cubic', plan.fingerprint, count, tile)
+    cached = _cache_get(key)
     if cached is not None:
         return cached
     at = np.arange(count, dtype=np.int64) * plan.cubic_step
@@ -185,8 +205,7 @@ def _cubic_matrices(plan: EnginePlan, count: int,
     cols = np.tile(np.arange(tile), n_tiles)
     for t in range(4):
         M[rows, cols, offs.ravel() + t] = K_p[:, t]
-    _GENERAL_CACHE[key] = (starts, M)
-    return _GENERAL_CACHE[key]
+    return _cache_put(key, (starts, M))
 
 
 _DECIM_CACHE: dict = {}
@@ -228,7 +247,7 @@ def _decim_matrix(plan: EnginePlan, period: int = DECIM_PERIOD):
     the 751-tap stride-2 conv ran at ~0.1 Gsample/s; this path is
     bandwidth-bound like the rational fused path).
     """
-    key = (id(plan), period)
+    key = (plan.fingerprint, period)
     if key in _DECIM_CACHE:
         return _DECIM_CACHE[key]
     m, t = plan.factor, plan.decim_taps
@@ -299,10 +318,17 @@ def _fused_rational_matrix(plan: EnginePlan):
       => x-coefficient index rel. frame start = (div+t)//F + tau - (T1-1)
          - m*Ipx, which is >= 0 with min 0 (delta//F == T1-1).
 
-    Returns (R [P2, Wx], P2 outputs/period, Ipx input samples/period).
-    Computed once per plan in float64 and cached.
+    When the plan carries the strict-antialias prefilter, the 1:1 lowpass
+    is composed into the matrix too (pipeline/fused.py compose), giving
+    ``lam`` > 0: period m then reads (0^lam ++ x)[m*Ipx : m*Ipx + Wx].
+    The aa tail thus extends naturally into the flush padding (no hard
+    truncation at the input length; same semantics as the composite
+    pipeline operator and the numpy oracle).
+
+    Returns (R [P2, Wx], P2 outputs/period, Ipx input samples/period,
+    lam left zero-context).  Computed once per plan in float64 and cached.
     """
-    key = id(plan)
+    key = plan.fingerprint
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
     s = plan.step >> PHASE_FRAC_BITS
@@ -340,7 +366,18 @@ def _fused_rational_matrix(plan: EnginePlan):
             R[r, j0:j0 + T1] += a * pre[p]
             max_j = max(max_j, j0 + T1 - 1)
     R = R[:, :max_j + 1]
-    _FUSED_CACHE[key] = (R, P2, Ipx)
+    lam = 0
+    if plan.aa_taps:
+        from ..pipeline.fused import BandedOp, compose
+        d = (plan.aa_taps - 1) // 2
+        aa = BandedOp(P=1, I=1, W=plan.aa_taps,
+                      R=np.asarray(plan.aa_coeffs,
+                                   dtype=np.float64)[None, :],
+                      lam=d, lengths=())
+        core = BandedOp(P=P2, I=Ipx, W=R.shape[1], R=R, lam=0, lengths=())
+        comp = compose(aa, core)
+        R, P2, Ipx, lam = comp.R, comp.P, comp.I, comp.lam
+    _FUSED_CACHE[key] = (R, P2, Ipx, lam)
     return _FUSED_CACHE[key]
 
 
@@ -348,18 +385,21 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
                                dtype) -> jax.Array:
     """One matmul for the whole two-stage cascade (MXU fast path).
 
-    ``x`` is the raw input padded on the right with the flush zeros (no
-    left padding).  Halves HBM traffic vs. the unfused path: no
-    intermediate upsampled stream or u-frames are materialized.  On TPU
-    with float32 and VMEM-compatible shapes the Pallas kernel
-    (ops/pallas_fused.py) assembles the overlapping frames on-chip,
-    reaching the read-x-once bandwidth floor.
+    ``x`` is the raw input: this function applies all padding itself
+    (``lam`` virtual zeros on the left when the strict-antialias prefilter
+    is composed into the matrix, coverage zeros on the right).  Halves HBM
+    traffic vs. the unfused path: no intermediate upsampled stream or
+    u-frames are materialized.  On TPU with float32 and VMEM-compatible
+    shapes the Pallas kernel (ops/pallas_fused.py) assembles the
+    overlapping frames on-chip, reaching the read-x-once bandwidth floor.
     """
     from ..ops import pallas_fused as pf
 
-    R, P2, Ipx = _fused_rational_matrix(plan)
+    R, P2, Ipx, lam = _fused_rational_matrix(plan)
     wx = R.shape[1]
     n_frames = -(-count // P2)
+    if lam:
+        x = jnp.pad(x, ((0, 0), (lam, 0)))
 
     tf = pf.frame_tile_for(P2)
     # Default-on: the DMA-framing kernel (double-buffered HBM fetches +
@@ -493,18 +533,23 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str,
         return _decim_apply_matmul(plan, xext[:, t - 1:], canonical, dtype)
 
     # two_stage
+    if plan.is_rational_exact:
+        # Fused path: both stages (and the strict-antialias prefilter,
+        # when present) composed into one banded matmul over the raw x;
+        # all padding happens inside.
+        return _poly_apply_rational_fused(plan, x, canonical, dtype)
     if plan.aa_taps:
         # strict-antialias prefilter: delay-compensated 'same' lowpass at
-        # the input rate (EnginePlan.aa_coeffs); counts/grid unchanged.
+        # the input rate (EnginePlan.aa_coeffs), extended over the flush
+        # padding (natural tail — same semantics as the fused/composed
+        # paths and the numpy oracle): filter (x ++ 0^z) then continue
+        # with no further right padding.
         d = (plan.aa_taps - 1) // 2
-        xext = jnp.pad(x, ((0, 0), (d, d)))
+        xext = jnp.pad(x, ((0, 0), (d, d + z)))
         h = jnp.asarray(plan.aa_coeffs, dtype=dtype)
         x = conv1d_poly(xext, h[None, :], stride=1)[:, 0, :]
+        z = 0
     t1, f = plan.pre_taps, plan.factor
-    if plan.is_rational_exact:
-        # Fused path: both stages composed into one banded matmul over x.
-        return _poly_apply_rational_fused(
-            plan, jnp.pad(x, ((0, 0), (0, z))), canonical, dtype)
     xext = jnp.pad(x, ((0, 0), (t1 - 1, z)))
     coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
     u = prestage_apply(coeffs, xext, f)                       # [S, F*(n+z)]

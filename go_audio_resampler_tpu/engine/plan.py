@@ -88,6 +88,33 @@ class EnginePlan:
     # ---- derived helpers -------------------------------------------------
 
     @property
+    def fingerprint(self) -> tuple:
+        """Stable identity for host-side matrix caches.
+
+        Keying caches on this tuple instead of ``id(plan)`` avoids stale
+        hits when a GC'd plan's id is reused (plan_engine's lru_cache can
+        evict plans while derived matrices outlive them).  A digest of the
+        coefficient arrays is included so hand-perturbed plan copies (the
+        mutation-detection test tier builds these) never alias the
+        pristine plan's matrices.
+        """
+        fp = getattr(self, '_fingerprint', None)
+        if fp is None:
+            import hashlib
+            h = hashlib.blake2b(digest_size=16)
+            for arr in (self.pre_coeffs, self.decim_coeffs, self.bank_a,
+                        self.bank_b, self.bank_c, self.bank_d,
+                        self.aa_coeffs):
+                h.update(b'|' if arr is None else
+                         np.ascontiguousarray(arr).tobytes())
+            fp = (self.kind, float(self.input_rate),
+                  float(self.output_rate), int(self.quality),
+                  int(self.aa_taps), self.step, self.cubic_step,
+                  h.hexdigest())
+            self._fingerprint = fp
+        return fp
+
+    @property
     def at0(self) -> int:
         """Initial polyphase accumulator: core_delta * L << 16.
 

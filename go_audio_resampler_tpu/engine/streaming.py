@@ -159,7 +159,11 @@ class EngineCore:
         p = self.plan
         if p.kind in ('dft_up', 'two_stage'):
             self.pre_coeffs = jnp.asarray(p.pre_coeffs, dtype=self.dtype)
-        self._has_aa = p.kind == 'two_stage' and p.aa_taps > 0
+        # Exact-rational plans fold the strict-antialias prefilter into the
+        # fused banded matrix (oneshot._fused_rational_matrix); the host
+        # FIFO machinery below is needed only for the non-exact walk.
+        self._has_aa = (p.kind == 'two_stage' and p.aa_taps > 0
+                        and not p.is_rational_exact)
         if self._has_aa:
             self._aa_coeffs = jnp.asarray(p.aa_coeffs, dtype=self.dtype)
             self._aa_delay = (p.aa_taps - 1) // 2
@@ -167,19 +171,24 @@ class EngineCore:
         self.rational_fused = False
         if p.kind == 'two_stage':
             if p.is_rational_exact:
-                # Fused streaming: the whole cascade as one periodic banded
-                # matmul (see _step_rational_fused).
+                # Fused streaming: the whole cascade (incl. the aa
+                # prefilter when present) as one periodic banded matmul
+                # (see _step_rational_fused).  The zero carry C >= Wx-Ipx
+                # with C == lam (mod Ipx) places the canonical grid
+                # (C-lam)/Ipx periods into the core stream; the wrapper
+                # drops that ramp.
                 from .oneshot import _fused_rational_matrix
-                r, p2, ipx = _fused_rational_matrix(p)
+                r, p2, ipx, lam = _fused_rational_matrix(p)
                 self.rational_fused = True
                 self._rational_rt = jnp.asarray(r.T, dtype=self.dtype)
                 self._rational_p2 = p2
                 self._rational_ipx = ipx
                 self._rational_wx = r.shape[1]
                 self.block = _ceil_div(self.block, ipx) * ipx
-                self._rational_carry = _ceil_div(
-                    max(self._rational_wx - ipx, 0), ipx) * ipx
-                self._drop_override = (self._rational_carry // ipx) * p2
+                self._rational_carry = lam + _ceil_div(
+                    max(self._rational_wx - ipx - lam, 0), ipx) * ipx
+                self._drop_override = \
+                    ((self._rational_carry - lam) // ipx) * p2
             else:
                 self.banks = tuple(jnp.asarray(b, dtype=self.dtype) for b in
                                    (p.bank_a, p.bank_b, p.bank_c, p.bank_d))
@@ -210,6 +219,27 @@ class EngineCore:
             self._decim_carry = _ceil_div(p.decim_taps - 1, p.factor) \
                 * p.factor
             self._drop_override = self._decim_carry // p.factor
+        if p.kind == 'banded':
+            # Composite fused-pipeline operator (pipeline/fused.py):
+            # canonical period m reads (0^lam ++ x)[m*I : m*I + W].  The
+            # zero carry C >= W - I with C == lam (mod I) places the
+            # canonical grid (C - lam)/I periods into the core stream;
+            # the wrapper drops that ramp.  When the composite has an
+            # aperiodic head (chains with a mid-stream aa prefilter), the
+            # wrapper overwrites the first n_head canonical outputs with
+            # the exact host-computed head rows (_emit).
+            op = p.op
+            ipx, wx, lam = op.I, op.W, op.lam
+            self._banded_rt = jnp.asarray(op.R.T, dtype=self.dtype)
+            self._banded_p2 = op.P
+            self._banded_ipx = ipx
+            self._banded_wx = wx
+            self._banded_head = op.head
+            self._banded_lam = lam
+            self.block = _ceil_div(self.block, ipx) * ipx
+            self._banded_carry = lam + _ceil_div(
+                max(wx - ipx - lam, 0), ipx) * ipx
+            self._drop_override = ((self._banded_carry - lam) // ipx) * op.P
         if p.kind == 'cubic':
             self.cubic_cap = _ceil_div(self.block << 32, p.cubic_step) + 1
             # int32 safety for the two-limb walk32 (stages.py:56-73):
@@ -230,6 +260,8 @@ class EngineCore:
                 carry=jnp.zeros((s, max(p.pre_taps - 1, 0)), d))
         if p.kind == 'decimate':
             return jnp.zeros((s, self._decim_carry), d)
+        if p.kind == 'banded':
+            return jnp.zeros((s, self._banded_carry), d)
         # two_stage
         if self.rational_fused:
             return jnp.zeros((s, self._rational_carry), d)
@@ -266,6 +298,10 @@ class EngineCore:
             rt, ipx, wx, p2 = (self._decim_rt, self._decim_ipx,
                                self._decim_wx, self._decim_p2)
             return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2)
+        if p.kind == 'banded':
+            rt, ipx, wx, p2 = (self._banded_rt, self._banded_ipx,
+                               self._banded_wx, self._banded_p2)
+            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2)
         if self.rational_fused:
             rt, ipx, wx, p2 = (self._rational_rt, self._rational_ipx,
                                self._rational_wx, self._rational_p2)
@@ -297,6 +333,10 @@ class EngineCore:
             return lambda state, x: _step_decim_fused(
                 self._decim_rt, state, x, ipx=self._decim_ipx,
                 wx=self._decim_wx, p2=self._decim_p2)
+        if p.kind == 'banded':
+            return lambda state, x: _step_rational_fused(
+                self._banded_rt, state, x, ipx=self._banded_ipx,
+                wx=self._banded_wx, p2=self._banded_p2)
         if self.rational_fused:
             return lambda state, x: _step_rational_fused(
                 self._rational_rt, state, x, ipx=self._rational_ipx,
@@ -342,6 +382,10 @@ class EngineCore:
         self.samples_out = 0      # canonical samples emitted to the caller
         self._core_emitted = 0    # core outputs seen (incl. transient prefix)
         self._flushed = False
+        # Input prefix buffer for the banded head correction (see _emit).
+        self._head_x = None
+        if getattr(self, '_banded_head', None) is not None:
+            self._head_x = np.zeros((self.batch, 0), dtype=np.float64)
         if self._has_aa:
             self._aa_carry = jnp.zeros(
                 (self.batch, self.plan.aa_taps - 1), self.dtype)
@@ -372,17 +416,23 @@ class EngineCore:
         self._aa_delivered += y.shape[1]
         return y
 
-    def _aa_drain(self) -> np.ndarray:
-        """Flush the prefilter so its centered stream totals samples_in."""
-        remaining = self.samples_in - self._aa_delivered
+    def _aa_drain(self, extra: int) -> np.ndarray:
+        """Flush the prefilter: centered stream totals samples_in + extra.
+
+        ``extra`` is the core's flush padding; filtering it through the
+        prefilter (instead of appending raw zeros after a hard truncation
+        at samples_in) lets the aa tail extend naturally — the same
+        semantics as the composed fused matrix and the numpy oracle."""
+        target = self.samples_in + extra
+        remaining = target - self._aa_delivered
         if remaining <= 0:
             return np.zeros((self.batch, 0), dtype=self.dtype)
-        total = self._aa_raw.available() + self._aa_delay
+        total = self._aa_raw.available() + extra + self._aa_delay
         zpad = _ceil_div(total, self.block) * self.block \
             - self._aa_raw.available()
         out = self._aa_push(np.zeros((self.batch, zpad), dtype=self.dtype))
         out = out[:, :remaining]
-        self._aa_delivered = self.samples_in
+        self._aa_delivered = target
         return out
 
     def _run_block(self, block_np: np.ndarray) -> np.ndarray:
@@ -403,6 +453,23 @@ class EngineCore:
         if limit is not None:
             room = limit - self.samples_out
             out = out[:, :max(room, 0)]
+        if (self._head_x is not None and out.shape[1]
+                and self.samples_out < self._banded_head.shape[0]):
+            # Banded head correction: the first n_head canonical outputs
+            # follow dedicated exact rows (pipeline/fused.py BandedOp.head)
+            # instead of the periodic matrix.  Their windows only reach
+            # inputs already consumed (same j_max as the periodic rows),
+            # so the collected prefix always suffices.
+            head = self._banded_head
+            k0 = self.samples_out
+            k1 = min(head.shape[0], k0 + out.shape[1])
+            need = head.shape[1] - self._banded_lam
+            xe = np.zeros((self.batch, head.shape[1]))
+            have = min(need, self._head_x.shape[1])
+            xe[:, self._banded_lam:self._banded_lam + have] = \
+                self._head_x[:, :have]
+            out = np.array(out)
+            out[:, :k1 - k0] = (xe @ head[k0:k1].T).astype(self.dtype)
         self.samples_out += out.shape[1]
         return out
 
@@ -423,6 +490,13 @@ class EngineCore:
         if x.shape[0] != self.batch:
             raise ValueError(f"expected {self.batch} streams, got {x.shape[0]}")
         self.samples_in += x.shape[1]
+        if self._head_x is not None:
+            need = self._banded_head.shape[1] - self._banded_lam
+            if self._head_x.shape[1] < need:
+                take = min(need - self._head_x.shape[1], x.shape[1])
+                self._head_x = np.concatenate(
+                    [self._head_x, np.asarray(x[:, :take], dtype=np.float64)],
+                    axis=1)
         if self._has_aa:
             x = self._aa_push(x)
         self._pending.write(x)
@@ -462,6 +536,8 @@ class EngineCore:
             hold = max(p.pre_taps - 1, 0)
         elif p.kind == 'decimate':
             hold = self._decim_carry + self._decim_wx
+        elif p.kind == 'banded':
+            hold = self._banded_carry + self._banded_wx
         elif self.rational_fused:
             hold = self._rational_carry + self._rational_wx
         else:
@@ -480,15 +556,16 @@ class EngineCore:
         if self._flushed:
             return np.zeros((self.batch, 0), dtype=self.dtype)
         self._flushed = True
-        if self._has_aa:
-            # Complete the prefiltered stream to exactly samples_in samples
-            # (the core's flush zeros below are then appended to it, same
-            # as the one-shot path).
-            self._pending.write(self._aa_drain())
         lm = self.plan.lengths
         canonical_total = lm.canonical(self.samples_in) + 0
-        rem = self._pending.available()
         z = lm.flush_pad(self.samples_in) if self.samples_in > 0 else 0
+        if self._has_aa:
+            # Run the flush padding THROUGH the prefilter so the core sees
+            # aa(x ++ 0^z) — the aa tail extends into the padding (same
+            # semantics as the fused matrix and the one-shot path).
+            self._pending.write(self._aa_drain(z))
+            z = 0
+        rem = self._pending.available()
         # Feed remainder + z zeros, rounded up to whole blocks (extra zeros
         # only produce post-canonical samples, which the limit trims).
         total_tail = rem + z

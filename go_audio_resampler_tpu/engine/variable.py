@@ -151,6 +151,15 @@ class VariableRateResampler:
         self.cap = int(math.ceil(self.block * self.max_ratio)) + 4
 
         self._validate_ratio(io_ratio)
+        # The initial ratio must respect max_ratio exactly like every
+        # set_io_ratio() target: the per-block output capacity is sized
+        # from max_ratio, so a faster initial ratio would overflow the
+        # walk mid-process (an internal AssertionError) instead of
+        # failing loudly here at construction.
+        if 1.0 / io_ratio > self.max_ratio + 1e-12:
+            raise ValueError(
+                f"initial io_ratio {io_ratio} exceeds max_ratio "
+                f"{self.max_ratio} (output/input {1.0 / io_ratio:.4f})")
         self._init_r = float(io_ratio)
         self.reset()
 

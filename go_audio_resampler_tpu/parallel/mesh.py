@@ -26,7 +26,7 @@ from jax import shard_map
 
 from ..engine import plan_engine, EngineCore
 from ..engine.variable import VariableRateResampler
-from ..engine.oneshot import _oneshot_jit
+from ..engine.oneshot import _oneshot_aux, _oneshot_jit
 from ..engine import stages
 
 STREAM_AXIS = "streams"
@@ -47,11 +47,18 @@ def sharded_oneshot(plan, x, mesh: Mesh, dtype=jnp.float32):
     ``x`` is [S, n] with S divisible by the mesh size.  Each device runs
     the identical static program on its shard; XLA inserts no collectives
     (streams are independent), so scaling is linear over ICI-attached
-    chips.
+    chips.  The host-prepared banded matrices (cubic / non-exact-rational
+    plans) are passed as replicated device ARGUMENTS, mirroring
+    ``oneshot()`` — without them the in-trace fallback bakes ~50 MB of
+    matrices per second of audio into the compiled program as constants.
     """
+    dtype = jnp.dtype(dtype)
     sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
+    replicated = NamedSharding(mesh, P())
     x = jax.device_put(jnp.asarray(x), sharding)
-    y = _oneshot_jit(plan, x, jnp.dtype(dtype).name)
+    aux = _oneshot_aux(plan, int(np.shape(x)[1]), dtype)
+    aux = tuple(jax.device_put(a, replicated) for a in aux)
+    y = _oneshot_jit(plan, x, dtype.name, *aux)
     return y
 
 
@@ -78,19 +85,21 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
     if plan.kind != 'two_stage':
         raise ValueError("sharded_stream_step currently builds the flagship "
                          "two_stage topology")
-    if plan.aa_taps:
+    if plan.aa_taps and not plan.is_rational_exact:
         raise ValueError("sharded_stream_step does not yet support "
-                         "strict-antialias plans (aa prefilter)")
+                         "strict-antialias plans with a non-exact walk "
+                         "(exact-rational plans fold the aa prefilter "
+                         "into the fused matrix)")
     n_dev = mesh.devices.size
     s_total = batch_per_device * n_dev
     sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
 
     if plan.is_rational_exact:
         from ..engine.oneshot import _fused_rational_matrix
-        r, p2, ipx = _fused_rational_matrix(plan)
+        r, p2, ipx, lam = _fused_rational_matrix(plan)
         wx = r.shape[1]
         block = -(-block // ipx) * ipx
-        carry_len = -(-max(wx - ipx, 0) // ipx) * ipx
+        carry_len = lam + -(-max(wx - ipx - lam, 0) // ipx) * ipx
         rt = jnp.asarray(r.T, dtype=dtype)
 
         def init_state():

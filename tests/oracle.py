@@ -175,14 +175,23 @@ def oracle_oneshot(plan: EnginePlan, x: np.ndarray) -> np.ndarray:
     if plan.kind == 'decimate':
         st = OracleDecim(plan.decim_coeffs, plan.factor)
         return np.concatenate([st.process(x), st.flush()])
+    count = None
     if plan.aa_taps:
-        # strict-antialias prefilter: delay-compensated 'same' lowpass
+        # strict-antialias prefilter: delay-compensated lowpass whose tail
+        # extends naturally into the flush padding (it is part of the
+        # composed periodic operator on the engine side).  The canonical
+        # count stays that of the RAW input; the serial chain sees the
+        # longer filtered stream, so its surplus tail outputs are trimmed.
+        # Non-aa plans stay untrimmed: their count must emerge from the
+        # serial walk itself (the LengthModel-vs-oracle mutation tier
+        # depends on that independence).
+        count = plan.lengths.canonical(len(x))
         d = (plan.aa_taps - 1) // 2
-        x = np.convolve(x, plan.aa_coeffs, mode='full')[d:d + len(x)]
+        x = np.convolve(x, plan.aa_coeffs, mode='full')[d:]
     pre = OracleDFTUp(plan.pre_coeffs, plan.factor)
     poly = OraclePoly((plan.bank_a, plan.bank_b, plan.bank_c, plan.bank_d),
                       plan.num_phases, plan.poly_taps, plan.step)
     out = [poly.process(pre.process(x))]
     out.append(poly.process(pre.flush()))
     out.append(poly.flush())
-    return np.concatenate(out)
+    return np.concatenate(out)[:count]

@@ -223,3 +223,50 @@ class TestStreamingVsOneshot:
             for n in (1, 100, 1000, 4096):
                 assert plan.lengths.canonical(n) <= plan.estimate_output(n), \
                     f"{inr}->{outr} n={n}"
+
+
+class TestMatrixCache:
+    """The host-side banded-matrix cache is fingerprint-keyed and bounded."""
+
+    def test_cache_lru_byte_bound(self):
+        import importlib
+        os_mod = importlib.import_module(
+            'go_audio_resampler_tpu.engine.oneshot')
+        plan = plan_engine(44100, 48001, Quality.HIGH)  # non-exact rational
+        assert plan.kind == 'two_stage' and not plan.is_rational_exact
+        saved_limit = os_mod.GENERAL_CACHE_LIMIT
+        saved_cache = dict(os_mod._GENERAL_CACHE)
+        try:
+            os_mod._GENERAL_CACHE.clear()
+            os_mod._GENERAL_CACHE_BYTES = 0
+            one = os_mod._general_matrices(plan, 2048)
+            entry_bytes = sum(a.nbytes for a in one)
+            # Cap at ~2 entries; inserting 5 distinct lengths must evict.
+            os_mod.GENERAL_CACHE_LIMIT = int(2.5 * entry_bytes)
+            os_mod._GENERAL_CACHE.clear()
+            os_mod._GENERAL_CACHE_BYTES = 0
+            for count in (2048, 2304, 2560, 2816, 3072):
+                os_mod._general_matrices(plan, count)
+            assert len(os_mod._GENERAL_CACHE) <= 3
+            assert os_mod._GENERAL_CACHE_BYTES <= os_mod.GENERAL_CACHE_LIMIT
+            # Most-recent entry survives (LRU semantics).
+            assert (plan.fingerprint, 3072, os_mod.GENERAL_TILE) \
+                in os_mod._GENERAL_CACHE
+        finally:
+            os_mod.GENERAL_CACHE_LIMIT = saved_limit
+            os_mod._GENERAL_CACHE.clear()
+            os_mod._GENERAL_CACHE.update(saved_cache)
+            os_mod._GENERAL_CACHE_BYTES = sum(
+                sum(a.nbytes for a in v) for v in saved_cache.values())
+
+    def test_cache_key_is_plan_fingerprint_not_id(self):
+        import importlib
+        os_mod = importlib.import_module(
+            'go_audio_resampler_tpu.engine.oneshot')
+        p1 = plan_engine(44100, 48001, Quality.HIGH)
+        m1 = os_mod._general_matrices(p1, 2048)
+        plan_engine.cache_clear()
+        p2 = plan_engine(44100, 48001, Quality.HIGH)
+        assert p1 is not p2  # fresh object, same configuration
+        m2 = os_mod._general_matrices(p2, 2048)
+        assert m1[1] is m2[1]  # same cached matrices via fingerprint

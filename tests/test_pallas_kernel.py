@@ -26,7 +26,7 @@ def reference(x, R, Ipx, nf):
 class TestFusedKernelInterpret:
     def test_cd_dat_matches_reference(self):
         plan = plan_engine(44100, 48000, Quality.HIGH)
-        R, P2, Ipx = _fused_rational_matrix(plan)
+        R, P2, Ipx, _lam = _fused_rational_matrix(plan)
         wx = R.shape[1]
         tf = pf.frame_tile_for(P2)
         n_tiles = 3
@@ -69,7 +69,7 @@ class TestFusedKernelInterpret:
 
     def test_stream_tile_requirement(self):
         plan = plan_engine(44100, 48000, Quality.HIGH)
-        R, P2, Ipx = _fused_rational_matrix(plan)
+        R, P2, Ipx, _lam = _fused_rational_matrix(plan)
         wx = R.shape[1]
         x = np.zeros((5, 4000), np.float32)  # 5 % STREAM_TILE != 0
         with pytest.raises(AssertionError):

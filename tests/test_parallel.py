@@ -63,9 +63,9 @@ class TestShardedStreaming:
         # The fused step's stream is the canonical stream preceded by the
         # convolution-ramp prefix; drop it and compare lane-for-lane.
         from go_audio_resampler_tpu.engine.oneshot import _fused_rational_matrix
-        r, p2_, ipx = _fused_rational_matrix(plan)
-        carry_len = -(-max(r.shape[1] - ipx, 0) // ipx) * ipx
-        drop = (carry_len // ipx) * p2_
+        r, p2_, ipx, lam = _fused_rational_matrix(plan)
+        carry_len = lam + -(-max(r.shape[1] - ipx - lam, 0) // ipx) * ipx
+        drop = ((carry_len - lam) // ipx) * p2_
         got = got[:, drop:]
         xfull = np.tile(np.asarray(x), (1, 4))
         ref = np.asarray(oneshot(plan, xfull, dtype=np.float32))

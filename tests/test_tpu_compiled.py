@@ -40,7 +40,7 @@ from go_audio_resampler_tpu.ops import pallas_fused as pf
 mode = {mode!r}
 plan = plan_engine({inr}, {outr}, Quality.HIGH)
 if mode == 'rational':
-    R, P2, Ipx = osm._fused_rational_matrix(plan)
+    R, P2, Ipx, _lam = osm._fused_rational_matrix(plan)
 else:
     assert plan.kind == 'decimate', plan.kind
     R, P2, Ipx = osm._decim_matrix(plan, osm.PALLAS_DECIM_PERIOD)

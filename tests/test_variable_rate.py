@@ -193,3 +193,16 @@ class TestQuality:
         y = np.concatenate([y1, y2])
         amp, resid = ls_fit_tone(y[200:9000], 0.008 * 1.0001)
         assert abs(amp - 1.0) < 1e-3 and resid < 1e-2
+
+
+class TestConstruction:
+    def test_initial_ratio_must_respect_max_ratio(self):
+        # Constructing with io_ratio 0.5 (2x upsampling) but max_ratio 1.0
+        # must fail at construction, not via an internal assertion later.
+        with pytest.raises(ValueError, match="max_ratio"):
+            VariableRateResampler(1.0, 0.5)
+
+    def test_initial_ratio_within_max_ok(self):
+        vr = VariableRateResampler(2.0, 0.5, block=256)
+        y = vr.process(np.zeros(512, dtype=np.float32))
+        assert y.shape[0] == 1
