@@ -3,7 +3,7 @@
 PY ?= python
 
 .PHONY: test test-quick bench bench-all bench-baseline bench-check lint \
-	native clean
+	native clean quality-tpu
 
 test: native
 	$(PY) -m pytest tests/ -q
@@ -26,6 +26,12 @@ bench-baseline:
 bench-check: bench-all
 	$(PY) benchmarks/check_regression.py benchmarks/results.json \
 		benchmarks/baseline_tpu.json --tolerance 0.20
+
+# Quality metrics measured on ACTUAL TPU float32 output via the default
+# (Pallas) paths, plus compiled Pallas-vs-XLA parity; writes
+# QUALITY_tpu.json and fails on any floor/parity violation.
+quality-tpu:
+	$(PY) tools/quality_tpu.py
 
 lint:
 	$(PY) tools/lintcheck.py go_audio_resampler_tpu tests bench.py __graft_entry__.py

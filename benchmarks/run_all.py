@@ -278,9 +278,16 @@ def main() -> None:
         vr.set_io_ratio(1.1, slew_len=1 << 30)
 
         def make_vr(k_blocks):
+            from go_audio_resampler_tpu.engine.variable import VR_TILE
             vr.reset()
             vr.set_io_ratio(1.1, slew_len=1 << 30)
             walks = [vr._walk_block(float('inf')) for _ in range(k_blocks)]
+            span = 8
+            for idx_w, _f, _v, n_w in walks:
+                for t in range(0, n_w, VR_TILE):
+                    hi = idx_w[min(n_w, t + VR_TILE) - 1]
+                    span = max(span, int(hi - idx_w[t]) + 4)
+            span = -(-span // 128) * 128
             idx = jnp.asarray(np.stack([w[0] for w in walks]))
             fr = jnp.asarray(np.stack([w[1] for w in walks]),
                              dtype=np.float32)
@@ -293,7 +300,7 @@ def main() -> None:
 
             def f():
                 c2, p2_, ys = _vr_scan(carry, pre, coeffs, xs, idx, fr,
-                                       va, factor=1)
+                                       va, factor=1, span=span)
                 return jnp.sum(ys[-1, :, :1])
             return jax.jit(f)
         t4 = min_time(make_vr(4))

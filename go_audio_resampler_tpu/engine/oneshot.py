@@ -32,6 +32,14 @@ from .stages import gather_windows, hermite4, prestage_apply
 
 _FRAC = 1 << PHASE_FRAC_BITS
 
+#: 1:1-FIR prototype length above which the FFT overlap-save lowering
+#: replaces the banded-matmul convolution (engine/fftstage.py).  The
+#: banded conv costs ~2*T flops/sample (T=901 measured ~11 Gs/s, so ~1.2
+#: Gs/s at T=8191) while the overlap-save path is length-independent at
+#: ~1.4 Gs/s measured (benchmarks/results.json fft_decim_96k_48k) —
+#: crossing near ~7k taps; 6144 adds margin for the conv's padding waste.
+FFT_CONV_MIN_TAPS = 6144
+
 
 def _poly_walk_host(plan: EnginePlan, count: int):
     """Host-side exact walk: (div, phase, frac) for outputs 0..count-1."""
@@ -65,37 +73,67 @@ def _rational_matrix(plan: EnginePlan):
     return R, P, Ip, W
 
 
-def _poly_apply_general(plan: EnginePlan, u: jax.Array, count: int,
+def _poly_apply_general(plan: EnginePlan, xext: jax.Array, count: int,
                         dtype, tile: int = 256, aux=None) -> jax.Array:
     """Banded batched matmul for non-exact-rational ratios (MXU path).
 
     The walk is quasi-periodic, so no single per-period matrix exists —
     but within a tile of P outputs the windows span a bounded range, so
-    each tile gets its own banded matrix M[t][p, off_p : off_p+T2] =
-    K[p] (the host-interpolated coefficient row) and the whole apply is
-    one batched matmul ``einsum('stw,tpw->stp')`` over gathered
-    super-frames.  This replaces the per-output gather + VPU dot (the
-    round-1 path measured 0.16 Gs/s; the banded form is MXU-bound like
-    the exact-rational path).  The matrices depend on (plan, count) and
-    are device-cached; they are passed as arguments, not baked as
-    constants (a 1-s program's matrices are ~50 MB).
+    each tile gets its own banded matrix (prestage composed in; see
+    _general_matrices) and the whole apply is one batched matmul over
+    windows of ``xext`` (the raw input left-padded by T1-1).  This
+    replaces the per-output gather + VPU dot (the round-1 path measured
+    0.16 Gs/s).  The matrices depend on (plan, count) and are device-
+    cached; they are passed as arguments, not baked as constants (a 1-s
+    program's matrices are ~50 MB).
     """
     div, _phase, _frac = _poly_walk_host(plan, count)
-    assert int(div[-1]) + plan.poly_taps <= u.shape[1], \
-        "internal: flush padding did not cover the last output window"
     if aux is not None:
         # Matrices prepared host-side by oneshot() and passed as jit
         # ARGUMENTS (a 1-s program's matrices are ~50 MB — baking them
         # as constants would bloat every compile).
         starts_d, M_d = aux
-        w_band = int(M_d.shape[2])
     else:
         starts_np, M_np = _general_matrices(plan, count, tile)
         starts_d = jnp.asarray(starts_np, dtype=jnp.int32)
         M_d = jnp.asarray(M_np, dtype=dtype)
-        w_band = M_np.shape[2]
-    if u.shape[1] < int(div[-1]) + w_band:
-        u = jnp.pad(u, ((0, 0), (0, int(div[-1]) + w_band - u.shape[1])))
+    last_start = int(div[-1]) // plan.factor
+    return _banded_tiles_apply(xext, starts_d, M_d, last_start, count, dtype)
+
+
+def _banded_tiles_apply(u: jax.Array, starts_d: jax.Array, M_d: jax.Array,
+                        last_start: int, count: int, dtype) -> jax.Array:
+    """Apply per-tile banded matrices: the general/cubic one-shot core.
+
+    Dispatches to the scalar-prefetch Pallas kernel on TPU float32 (DMA
+    framing at the irregular tile starts; the XLA lowering's dynamic
+    gather of [S, n_tiles, W] frames is the round-2 bottleneck at 2.8
+    Gs/s), falling back to gather+einsum elsewhere.
+    """
+    from ..ops import pallas_fused as pf
+
+    n_tiles, tile, w_band = (int(M_d.shape[0]), int(M_d.shape[1]),
+                             int(M_d.shape[2]))
+    w_pad = -(-w_band // 128) * 128
+    ts = 0
+    if (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
+            and jax.default_backend() == 'tpu'
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)):
+        ts = pf.choose_general_tile(w_pad, tile, u.shape[0])
+    if ts:
+        fetch = (-(-(w_pad + 128) // 128) * 128) + 128
+        xlen = last_start + fetch
+        s_pad = -(-u.shape[0] // ts) * ts
+        up = jnp.pad(u.astype(jnp.float32),
+                     ((0, s_pad - u.shape[0]),
+                      (0, max(0, xlen - u.shape[1]))))[:, :xlen]
+        m_t = jnp.transpose(M_d.astype(jnp.float32), (0, 2, 1))
+        m_t = jnp.pad(m_t, ((0, 0), (0, w_pad - w_band), (0, 0)))
+        y = pf.general_resample_pallas(up, m_t, starts_d,
+                                       w_band=w_band, tile=tile, ts=ts)
+        return y[:u.shape[0], :count]
+    if u.shape[1] < last_start + w_band:
+        u = jnp.pad(u, ((0, 0), (0, last_start + w_band - u.shape[1])))
     frames = gather_windows(u, starts_d, w_band)       # [S, n_tiles, W]
     y = jnp.einsum('stw,tpw->stp', frames, M_d.astype(dtype),
                    preferred_element_type=u.dtype,
@@ -136,9 +174,17 @@ def _general_matrices(plan: EnginePlan, count: int,
                       tile: int = GENERAL_TILE):
     """Host-side banded tile matrices for the general path (cached).
 
-    Returns (starts [n_tiles] int64, M [n_tiles, tile, W] float64) with
-    M[t][p, off_p : off_p+T2] = the interpolated coefficient row of
-    output t*tile + p, offset relative to the tile's first window.
+    Returns (starts [n_tiles] int64, M [n_tiles, tile, Wx] float64) in
+    the PRESTAGE-COMPOSED x domain: output t*tile + p reads
+    ``xext[starts[t] : starts[t] + Wx] @ M[t, p]`` where ``xext`` is the
+    raw input left-padded by T1-1 (the prestage ramp).  Composing the 2x
+    prestage into the matrices (same algebra as _fused_rational_matrix)
+    removes the materialized upsampled stream u — the device reads x
+    once instead of writing+reading a 2x intermediate.
+
+    The composition runs as two class-einsums: the u->x change of basis
+    depends only on the tile's u-start parity, so tiles split into F
+    classes sharing one [W_u, Wx] prestage matrix each.
     """
     key = (plan.fingerprint, count, tile)
     cached = _cache_get(key)
@@ -153,16 +199,35 @@ def _general_matrices(plan: EnginePlan, count: int,
     div_p = np.pad(div, (0, padded - count), mode='edge')
     K_p = np.pad(K_host, ((0, padded - count), (0, 0)))
     div_r = div_p.reshape(-1, tile)                # [n_tiles, P]
-    starts = div_r[:, 0].copy()                    # [n_tiles]
-    offs = div_r - starts[:, None]                 # >= 0, monotone
-    w_band = int(offs[:, -1].max()) + t2
+    starts_u = div_r[:, 0].copy()                  # [n_tiles] u-domain
+    offs = div_r - starts_u[:, None]               # >= 0, monotone
+    w_u = int(offs[:, -1].max()) + t2
     n_tiles = div_r.shape[0]
-    M = np.zeros((n_tiles, tile, w_band), dtype=np.float64)
+    M_u = np.zeros((n_tiles, tile, w_u), dtype=np.float64)
     rows = np.repeat(np.arange(n_tiles), tile)
     cols = np.tile(np.arange(tile), n_tiles)
     for t in range(t2):
-        M[rows, cols, offs.ravel() + t] = K_p[:, t]
-    return _cache_put(key, (starts, M))
+        M_u[rows, cols, offs.ravel() + t] = K_p[:, t]
+
+    # Compose the prestage: u[m] = sum_tau pre[m % F, tau] * xext[m//F + tau]
+    # => per u-start class c = start_u % F, the change of basis is
+    # P_c[m, (m+c)//F + tau] = pre[(m+c) % F, tau], shared by all tiles
+    # of that class; starts_x = starts_u // F.
+    F, T1 = plan.factor, plan.pre_taps
+    pre = plan.pre_coeffs
+    w_x = (w_u - 1 + F - 1) // F + T1
+    starts_x = starts_u // F
+    M = np.empty((n_tiles, tile, w_x), dtype=np.float64)
+    for c in range(F):
+        sel = np.nonzero(starts_u % F == c)[0]
+        if not len(sel):
+            continue
+        P_c = np.zeros((w_u, w_x), dtype=np.float64)
+        for m in range(w_u):
+            base = (m + c) // F
+            P_c[m, base:base + T1] = pre[(m + c) % F]
+        M[sel] = np.einsum('tpu,uw->tpw', M_u[sel], P_c)
+    return _cache_put(key, (starts_x, M))
 
 
 def _cubic_matrices(plan: EnginePlan, count: int,
@@ -302,6 +367,40 @@ def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
     return y.reshape(xs.shape[0], n_frames * P)[:, :count]
 
 
+def superframe(r: np.ndarray, ipx: int, *, max_overlap: float = 0.5,
+               max_bytes: int = 64 << 20, kf_cap: int | None = None):
+    """Group kf periods per frame: block-Toeplitz [kf*P, W + (kf-1)*I].
+
+    A banded operator with W >> I makes the dense-frames lowering read
+    each input ~W/I times (the 48k->8k fused pipeline composite has
+    W/I = 311 — a hard HBM ceiling near 0.6 Gs/s).  Framing kf periods
+    together amortizes the overlap: frames advance kf*I and read
+    W + (kf-1)*I, so the read amplification drops to 1 + (W-I)/(kf*I)
+    (<= 1 + max_overlap by choice of kf), at the cost of a
+    [kf*P, W+(kf-1)*I] matrix whose zeros add ~max_overlap extra MACs —
+    MXU headroom is the cheap resource here, HBM bandwidth the scarce
+    one.  Returns (r_super, ipx_super); identity when already compact.
+
+    ``kf_cap`` bounds the super-period in input samples (streaming
+    engines cap it near their block size to keep latency).
+    """
+    p, w = r.shape
+    if ipx <= 0 or w - ipx <= max_overlap * ipx:
+        return r, ipx
+    kf = -(-(w - ipx) // max(int(max_overlap * ipx), 1))
+    if kf_cap is not None:
+        kf = min(kf, max(kf_cap, 1))
+    while kf > 1 and (w + (kf - 1) * ipx) * (kf * p) * 4 > max_bytes:
+        kf -= 1
+    if kf <= 1:
+        return r, ipx
+    ws = w + (kf - 1) * ipx
+    rs = np.zeros((kf * p, ws), dtype=r.dtype)
+    for f in range(kf):
+        rs[f * p:(f + 1) * p, f * ipx:f * ipx + w] = r
+    return rs, kf * ipx
+
+
 _FUSED_CACHE: dict = {}
 
 
@@ -396,6 +495,10 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     from ..ops import pallas_fused as pf
 
     R, P2, Ipx, lam = _fused_rational_matrix(plan)
+    # Bound the frames-overlap read amplification (strict-antialias plans
+    # fold a ~1k-tap prefilter into R, pushing W/I into the hundreds).
+    R, Ipx = superframe(R, Ipx)
+    P2 = R.shape[0]
     wx = R.shape[1]
     n_frames = -(-count // P2)
     if lam:
@@ -508,11 +611,9 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str,
         i_last = int(at_last >> CubicSim.FRAC_BITS)
         histbuf = jnp.pad(x, ((0, 0), (3, max(0, i_last + w_band + 1
                                               - (n + 3)))))
-        frames = gather_windows(histbuf, starts_d, w_band)
-        y = jnp.einsum('stw,tpw->stp', frames, M_d.astype(dtype),
-                       preferred_element_type=dtype,
-                       precision=lax.Precision.HIGHEST)
-        return y.reshape(x.shape[0], -1)[:, :canonical]
+        # Tile starts are <= the last window index; i_last bounds them.
+        return _banded_tiles_apply(histbuf, starts_d, M_d, i_last,
+                                   canonical, dtype)
 
     if plan.kind == 'dft_up':
         t1, f = plan.pre_taps, plan.factor
@@ -543,15 +644,23 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str,
         # the input rate (EnginePlan.aa_coeffs), extended over the flush
         # padding (natural tail — same semantics as the fused/composed
         # paths and the numpy oracle): filter (x ++ 0^z) then continue
-        # with no further right padding.
+        # with no further right padding.  Prototypes past the measured
+        # matmul crossover route through FFT overlap-save (the banded
+        # conv's cost grows linearly with taps; the FFT's does not).
         d = (plan.aa_taps - 1) // 2
         xext = jnp.pad(x, ((0, 0), (d, d + z)))
-        h = jnp.asarray(plan.aa_coeffs, dtype=dtype)
-        x = conv1d_poly(xext, h[None, :], stride=1)[:, 0, :]
+        if plan.aa_taps >= FFT_CONV_MIN_TAPS:
+            from .fftstage import fft_correlate
+            x = fft_correlate(xext, np.asarray(plan.aa_coeffs,
+                                               dtype=np.float64),
+                              n + z).astype(dtype)
+        else:
+            h = jnp.asarray(plan.aa_coeffs, dtype=dtype)
+            x = conv1d_poly(xext, h[None, :], stride=1)[:, 0, :]
         z = 0
-    t1, f = plan.pre_taps, plan.factor
+    t1 = plan.pre_taps
+    # Prestage is composed into the banded tile matrices (x domain); the
+    # device never materializes the 2x intermediate stream.
     xext = jnp.pad(x, ((0, 0), (t1 - 1, z)))
-    coeffs = jnp.asarray(plan.pre_coeffs, dtype=dtype)
-    u = prestage_apply(coeffs, xext, f)                       # [S, F*(n+z)]
-    return _poly_apply_general(plan, u, canonical, dtype,
+    return _poly_apply_general(plan, xext, canonical, dtype,
                                aux=aux if aux else None)

@@ -49,6 +49,18 @@ def _step_fir(coeffs, carry, x):
     return stages.fir_process(coeffs, carry, x)
 
 
+def _fir_fft_step(coeffs_np, carry, x):
+    """Causal streaming FIR via FFT overlap-save (long prototypes).
+
+    Same contract as stages.fir_process; used when the prefilter length
+    crosses oneshot.FFT_CONV_MIN_TAPS (the banded conv's cost grows
+    linearly with taps, the overlap-save path's does not)."""
+    from .fftstage import fft_correlate
+    xext = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+    y = fft_correlate(xext, coeffs_np, x.shape[1])
+    return xext[:, x.shape[1]:], y
+
+
 @partial(jax.jit, static_argnames=('factor',), donate_argnames=('state',))
 def _step_dft_up(coeffs, state, x, factor):
     st, u = stages.prestage_process(coeffs, state, x, factor)
@@ -165,8 +177,15 @@ class EngineCore:
         self._has_aa = (p.kind == 'two_stage' and p.aa_taps > 0
                         and not p.is_rational_exact)
         if self._has_aa:
+            from .oneshot import FFT_CONV_MIN_TAPS
             self._aa_coeffs = jnp.asarray(p.aa_coeffs, dtype=self.dtype)
             self._aa_delay = (p.aa_taps - 1) // 2
+            if p.aa_taps >= FFT_CONV_MIN_TAPS:
+                self._fir_fn = jax.jit(partial(
+                    _fir_fft_step, np.asarray(p.aa_coeffs,
+                                              dtype=np.float64)))
+            else:
+                self._fir_fn = partial(_step_fir, self._aa_coeffs)
         self._drop_override = None
         self.rational_fused = False
         if p.kind == 'two_stage':
@@ -177,8 +196,14 @@ class EngineCore:
                 # with C == lam (mod Ipx) places the canonical grid
                 # (C-lam)/Ipx periods into the core stream; the wrapper
                 # drops that ramp.
-                from .oneshot import _fused_rational_matrix
+                from .oneshot import _fused_rational_matrix, superframe
                 r, p2, ipx, lam = _fused_rational_matrix(p)
+                # Bound the per-block frames-overlap read amplification;
+                # the super-period is capped near the requested block so
+                # streaming latency stays at the caller's scale.
+                r, ipx = superframe(r, ipx,
+                                    kf_cap=max(1, self.block // ipx))
+                p2 = r.shape[0]
                 self.rational_fused = True
                 self._rational_rt = jnp.asarray(r.T, dtype=self.dtype)
                 self._rational_p2 = p2
@@ -206,8 +231,10 @@ class EngineCore:
                 self.poly_keep = p.poly_taps + step_in + 2
                 self.hist_size = self.poly_keep + m + p.lengths.core_delta()
         if p.kind == 'decimate':
-            from .oneshot import _decim_matrix
+            from .oneshot import _decim_matrix, superframe
             r, p2, ipx = _decim_matrix(p)
+            r, ipx = superframe(r, ipx, kf_cap=max(1, self.block // ipx))
+            p2 = r.shape[0]
             self._decim_rt = jnp.asarray(r.T, dtype=self.dtype)
             self._decim_p2 = p2
             self._decim_ipx = ipx
@@ -228,10 +255,13 @@ class EngineCore:
             # aperiodic head (chains with a mid-stream aa prefilter), the
             # wrapper overwrites the first n_head canonical outputs with
             # the exact host-computed head rows (_emit).
+            from .oneshot import superframe
             op = p.op
-            ipx, wx, lam = op.I, op.W, op.lam
-            self._banded_rt = jnp.asarray(op.R.T, dtype=self.dtype)
-            self._banded_p2 = op.P
+            r, ipx = superframe(op.R, op.I,
+                                kf_cap=max(1, self.block // op.I))
+            p2, wx, lam = r.shape[0], r.shape[1], op.lam
+            self._banded_rt = jnp.asarray(r.T, dtype=self.dtype)
+            self._banded_p2 = p2
             self._banded_ipx = ipx
             self._banded_wx = wx
             self._banded_head = op.head
@@ -239,7 +269,7 @@ class EngineCore:
             self.block = _ceil_div(self.block, ipx) * ipx
             self._banded_carry = lam + _ceil_div(
                 max(wx - ipx - lam, 0), ipx) * ipx
-            self._drop_override = ((self._banded_carry - lam) // ipx) * op.P
+            self._drop_override = ((self._banded_carry - lam) // ipx) * p2
         if p.kind == 'cubic':
             self.cubic_cap = _ceil_div(self.block << 32, p.cubic_step) + 1
             # int32 safety for the two-limb walk32 (stages.py:56-73):
@@ -404,8 +434,7 @@ class EngineCore:
         while self._aa_raw.available() >= self.block:
             blk = jnp.asarray(self._aa_raw.read(self.block),
                               dtype=self.dtype)
-            self._aa_carry, y = _step_fir(self._aa_coeffs, self._aa_carry,
-                                          blk)
+            self._aa_carry, y = self._fir_fn(self._aa_carry, blk)
             outs.append(np.asarray(y))
         if not outs:
             return np.zeros((self.batch, 0), dtype=self.dtype)

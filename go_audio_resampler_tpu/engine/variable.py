@@ -52,15 +52,37 @@ import jax
 import jax.numpy as jnp
 
 from ..filterdesign import params as fdp
-from .stages import gather_windows, hermite4, prestage_apply
+from .stages import gather_windows, prestage_apply
 
 MIN_IO_RATIO = 1.0 / 256.0
 MAX_IO_RATIO = 256.0
 
 
-@partial(jax.jit, static_argnames=('factor',))
+#: outputs per on-device banded tile (lane width)
+VR_TILE = 128
+
+
+def _cubic_basis(fr):
+    """Catmull-Rom basis weights K0..K3 at fraction ``fr`` (stacked last).
+
+    The per-tap expansion of stages.hermite4 (cubic.go:75-90): pushing
+    unit taps through its a/b/c algebra gives, exactly,
+      K0 = ((-f/6 + 1/2)f - 1/3)f          K1 = ((f/2 - 1)f - 1/2)f + 1
+      K2 = ((-f/2 + 1/2)f + 1)f            K3 = ((f/6)f - 1/6)f
+    At f == 0 this is the exact one-hot (0,1,0,0), so integer positions
+    reproduce input samples bit-for-bit through the matmul.
+    """
+    one = jnp.ones((), fr.dtype)
+    k0 = ((-fr / 6.0 + 0.5) * fr - (1.0 / 3.0)) * fr
+    k1 = ((fr / 2.0 - 1.0) * fr - 0.5) * fr + one
+    k2 = ((-fr / 2.0 + 0.5) * fr + 1.0) * fr
+    k3 = ((fr / 6.0) * fr - (1.0 / 6.0)) * fr
+    return jnp.stack([k0, k1, k2, k3], axis=-1)
+
+
+@partial(jax.jit, static_argnames=('factor', 'span'))
 def _vr_scan(carry, pre_carry, coeffs, xs, idx, frac, valid, *,
-             factor: int):
+             factor: int, span: int):
     """All blocks of one call in a single device program (lax.scan).
 
     ``xs`` [K, S, B] input blocks, ``idx`` [K, cap] int32 window starts
@@ -68,13 +90,22 @@ def _vr_scan(carry, pre_carry, coeffs, xs, idx, frac, valid, *,
     fractions, ``valid`` [K, cap] 0/1 masks.  With ``factor > 1`` the 2x
     half-band prestage runs inside the scan body (its carry rides the
     scan state), so a process() call is ONE device launch regardless of
-    block count — the per-block launch/tunnel cost that dominated the
-    naive loop is gone.  The scan body is compiled once, so per-block
-    results are bitwise independent of the scan length (chunking
-    invariance holds through it).
+    block count.  The scan body is compiled once per (factor, shapes,
+    span), so per-block results are bitwise independent of the scan
+    length (chunking invariance holds through it).
+
+    The interpolation is a banded tile matmul built ON DEVICE: per tile
+    of VR_TILE outputs the 4-tap windows span at most ``span`` samples
+    (host-measured, bucketed), so the tile's operator is a [VR_TILE,
+    span] matrix assembled from the cubic basis with iota one-hots — one
+    wide gather per TILE plus an MXU matmul instead of a per-OUTPUT
+    dynamic gather (the round-2 bottleneck: 1.3 Gs/s).
 
     Returns (carry' [S,3], pre_carry', ys [K, S, cap], invalid zeroed).
     """
+    cap = idx.shape[1]
+    n_t = cap // VR_TILE
+
     def body(cs, inp):
         c, pc = cs
         x, i, f, v = inp
@@ -85,9 +116,19 @@ def _vr_scan(carry, pre_carry, coeffs, xs, idx, frac, valid, *,
         else:
             u, pc2 = x, pc
         histbuf = jnp.concatenate([c.astype(u.dtype), u], axis=1)
-        w = gather_windows(histbuf, i, 4)                # [S, cap, 4]
-        y = hermite4(w, f.astype(u.dtype))
-        y = y * v.astype(y.dtype)[None, :]
+        idx_t = i.reshape(n_t, VR_TILE)
+        i0 = idx_t[:, 0]                                   # [n_t]
+        rel = jnp.clip(idx_t - i0[:, None], 0, span - 4)   # [n_t, TV]
+        k = _cubic_basis(f.astype(u.dtype).reshape(n_t, VR_TILE))
+        lanes = jax.lax.iota(jnp.int32, span)[None, None, :]
+        b = jnp.zeros((n_t, VR_TILE, span), u.dtype)
+        for t in range(4):
+            b = b + k[..., t, None] * (lanes == (rel + t)[..., None])
+        tiles = gather_windows(histbuf, i0, span)          # [S, n_t, span]
+        y = jnp.einsum('stw,tpw->stp', tiles, b,
+                       preferred_element_type=u.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        y = y.reshape(x.shape[0], cap) * v.astype(u.dtype)[None, :]
         return (histbuf[:, -3:], pc2), y
 
     (c2, pc2), ys = jax.lax.scan(body, (carry, pre_carry),
@@ -147,8 +188,10 @@ class VariableRateResampler:
             self._delay_u = 0
 
         # Output capacity per input block: outputs per input sample is
-        # bounded by max_ratio regardless of the prestage factor.
-        self.cap = int(math.ceil(self.block * self.max_ratio)) + 4
+        # bounded by max_ratio regardless of the prestage factor.  Rounded
+        # up to whole VR_TILE device tiles (the banded-matmul lane width).
+        self.cap = -(-(int(math.ceil(self.block * self.max_ratio)) + 4)
+                     // VR_TILE) * VR_TILE
 
         self._validate_ratio(io_ratio)
         # The initial ratio must respect max_ratio exactly like every
@@ -352,6 +395,15 @@ class VariableRateResampler:
         k = blocks.shape[0]
         walks = [self._walk_block(pos_limit) for _ in range(k)]
         ns = [w[3] for w in walks]
+        # Widest 4-tap window spread within any VR_TILE output tile,
+        # bucketed to 128 lanes: the static span of the on-device banded
+        # matrices.  Buckets keep recompiles rare (one per ratio regime).
+        span = 8
+        for idx_w, _f, _v, n in walks:
+            for t in range(0, n, VR_TILE):
+                hi = idx_w[min(n, t + VR_TILE) - 1]
+                span = max(span, int(hi - idx_w[t]) + 4)
+        span = -(-span // 128) * 128
         xs = self._put(jnp.asarray(blocks, dtype=self.dtype), 1)
         idx = jnp.asarray(np.stack([w[0] for w in walks]))
         fr = jnp.asarray(np.stack([w[1] for w in walks]), dtype=self.dtype)
@@ -360,7 +412,7 @@ class VariableRateResampler:
                   else jnp.zeros((1, 1), dtype=self.dtype))
         self._carry, self._pre_carry, ys = _vr_scan(
             self._carry, self._pre_carry, coeffs, xs, idx, fr, va,
-            factor=self.factor)
+            factor=self.factor, span=span)
         self.samples_out += sum(ns)
         # Slice each block's valid prefix ON DEVICE before transfer: the
         # [K, S, cap] scan output is mostly padding (cap sizes for the

@@ -175,6 +175,125 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
     return y3.reshape(s, n_tiles * tf * p2)
 
 
+def _general_kernel(starts_ref, x_hbm, m_ref, y_ref, raw_ref, xv_ref, sem, *,
+                    w_pad: int, tile: int, fetch: int, ts: int):
+    """Per-tile banded matmul with DMA framing at data-dependent starts.
+
+    Grid (j = output tile, i = stream tile) — TILE-MAJOR, so the j-th
+    [W_pad, tile] matrix block stays resident in VMEM across all stream
+    tiles (stream-major order would re-stream the whole matrix slab once
+    per stream tile: ~8x the slab's HBM traffic at 512 streams).  The
+    j-th window starts at starts[j] (scalar-prefetched, so the NEXT grid
+    step's DMA can issue under this step's matmul).  The HBM fetch begins
+    at the 128-aligned floor of the start; the sub-128 residual is
+    removed on-chip with one pltpu.roll (positive shift — negative
+    dynamic shifts wrap mod 256), exactly like the rational kernel above.
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    nj = pl.num_programs(0)
+    lin = j * ni + i
+
+    def copy_in(jj, ii, slot):
+        aligned = starts_ref[jj] // 128 * 128
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ii * ts, ts), pl.ds(aligned, fetch)],
+            raw_ref.at[slot], sem.at[slot])
+
+    @pl.when(lin == 0)
+    def _():
+        copy_in(0, 0, 0).start()
+
+    nxt = (j * ni + i) + 1
+    @pl.when((i + 1 < ni))
+    def _():
+        copy_in(j, i + 1, nxt % 2).start()
+
+    @pl.when((i + 1 == ni) & (j + 1 < nj))
+    def _():
+        copy_in(j + 1, 0, nxt % 2).start()
+
+    copy_in(j, i, lin % 2).wait()
+    off = starts_ref[j] - starts_ref[j] // 128 * 128
+    xv_ref[:, :] = pltpu.roll(raw_ref[lin % 2], fetch - off, 1)
+    out = jnp.dot(xv_ref[:, :w_pad], m_ref[0],
+                  preferred_element_type=jnp.float32,
+                  precision=lax.Precision.HIGHEST)        # [TS, tile]
+    y_ref[:, :] = out
+
+
+@functools.partial(jax.jit, static_argnames=('w_band', 'tile', 'ts',
+                                             'interpret'))
+def general_resample_pallas(x: jax.Array, m_t: jax.Array, starts: jax.Array,
+                            *, w_band: int, tile: int,
+                            ts: int = STREAM_TILE,
+                            interpret: bool = False) -> jax.Array:
+    """y[s, t*tile + p] = sum_w x[s, starts[t] + w] * m_t[t, w, p].
+
+    The general (non-exact-rational) and cubic one-shot paths: each tile
+    of ``tile`` outputs has its own banded matrix (the walk is only
+    quasi-periodic), and window starts are irregular — they ride the
+    scalar-prefetch channel so DMA issue stays one tile ahead.
+
+    ``x`` [S, n] float32 (S % ts == 0, n >= max(starts) + fetch);
+    ``m_t`` [n_tiles, W_pad, tile] float32 with rows >= w_band zeroed;
+    ``starts`` [n_tiles] int32.  Returns y [S, n_tiles * tile].
+    """
+    s, n = x.shape
+    n_tiles, w_pad, tile_m = m_t.shape
+    assert tile_m == tile and w_pad % 128 == 0 and w_pad >= w_band
+    assert s % ts == 0
+    xv_len = _round_up(w_pad + 128, 128)
+    fetch = xv_len + 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, s // ts),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, w_pad, tile), lambda j, i, starts: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ts, tile), lambda j, i, starts: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ts, fetch), jnp.float32),
+            pltpu.VMEM((ts, fetch), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_general_kernel, w_pad=w_pad, tile=tile,
+                               fetch=fetch, ts=ts)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, n_tiles * tile), jnp.float32),
+        interpret=interpret,
+    )(starts, x, m_t)
+
+
+def general_vmem_bytes(w_pad: int, tile: int, ts: int) -> int:
+    """Scoped-VMEM footprint of one general-kernel grid step."""
+    fetch = _round_up(w_pad + 128, 128) + 128
+    return 4 * (2 * ts * fetch          # raw DMA double buffer
+                + ts * fetch            # xv (rolled window)
+                + 2 * w_pad * tile      # M block (pipelined x2)
+                + 2 * ts * tile)        # output block (pipelined x2)
+
+
+def choose_general_tile(w_pad: int, tile: int, s: int) -> int:
+    """Largest stream tile fitting the VMEM budget for the general kernel.
+
+    Returns 0 when nothing fits (or the batch is under 8 rows); the same
+    1.0x estimate family as the tf<=32 rational shapes (all buffers here
+    are lane-aligned and the matmul operands are small).
+    """
+    for ts in (STREAM_TILE, 32, 16, 8):
+        if s >= ts and general_vmem_bytes(w_pad, tile, ts) * 1.3 <= VMEM_BUDGET:
+            return ts
+    return 0
+
+
 def choose_stream_tile(ipx: int, wx: int, p2: int, tf: int,
                        s: int) -> int:
     """Largest stream tile (rows per grid step) fitting the VMEM budget.

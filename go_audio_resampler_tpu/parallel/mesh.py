@@ -95,8 +95,10 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
     sharding = NamedSharding(mesh, P(STREAM_AXIS, None))
 
     if plan.is_rational_exact:
-        from ..engine.oneshot import _fused_rational_matrix
+        from ..engine.oneshot import _fused_rational_matrix, superframe
         r, p2, ipx, lam = _fused_rational_matrix(plan)
+        r, ipx = superframe(r, ipx, kf_cap=max(1, block // ipx))
+        p2 = r.shape[0]
         wx = r.shape[1]
         block = -(-block // ipx) * ipx
         carry_len = lam + -(-max(wx - ipx - lam, 0) // ipx) * ipx

@@ -93,3 +93,65 @@ class TestFusedKernelInterpret:
                 assert pf.vmem_bytes(ipx, wx, p2, tf, ts) <= pf.VMEM_BUDGET
         # batch smaller than the smallest tile -> XLA fallback
         assert pf.choose_stream_tile(294, 1100, 320, 16, 4) == 0
+
+
+class TestGeneralKernelInterpret:
+    """Scalar-prefetch per-tile banded kernel (general/cubic one-shot)."""
+
+    def test_matches_gather_einsum(self):
+        rng = np.random.default_rng(2)
+        n_tiles, tile, w_band = 5, 256, 300
+        w_pad = -(-w_band // 128) * 128
+        starts = np.sort(rng.integers(0, 500, size=n_tiles)).astype(np.int32)
+        M = rng.normal(size=(n_tiles, tile, w_band))
+        fetch = (-(-(w_pad + 128) // 128) * 128) + 128
+        n = int(starts[-1]) + fetch
+        x = rng.normal(size=(pf.STREAM_TILE, n)).astype(np.float32)
+        m_t = np.zeros((n_tiles, w_pad, tile), dtype=np.float32)
+        m_t[:, :w_band, :] = np.transpose(M, (0, 2, 1))
+        y = np.asarray(pf.general_resample_pallas(
+            jnp.asarray(x), jnp.asarray(m_t), jnp.asarray(starts),
+            w_band=w_band, tile=tile, interpret=True))
+        frames = np.stack([x[:4, s:s + w_band] for s in starts], axis=1)
+        y_ref = np.einsum('stw,tpw->stp', frames.astype(np.float64),
+                          M).reshape(4, n_tiles * tile)
+        assert y.shape == (pf.STREAM_TILE, n_tiles * tile)
+        # float32 accumulation over w_band=300 taps vs the f64 reference
+        np.testing.assert_allclose(y[:4], y_ref, atol=2e-4)
+
+    def test_oneshot_general_path_via_kernel(self, monkeypatch):
+        # Force the dispatch gate open under the interpreter by checking
+        # the helper directly against the XLA gather path output.
+        import importlib
+        osm = importlib.import_module('go_audio_resampler_tpu.engine.oneshot')
+        plan = plan_engine(44100, 48001, Quality.HIGH)
+        n = 4096
+        count = plan.lengths.canonical(n)
+        starts_np, M_np = osm._general_matrices(plan, count)
+        rng = np.random.default_rng(3)
+        u_len = int(np.max(starts_np)) + M_np.shape[2] + 8
+        u = rng.normal(size=(8, u_len)).astype(np.float32)
+        w_band = M_np.shape[2]
+        w_pad = -(-w_band // 128) * 128
+        m_t = np.zeros((M_np.shape[0], w_pad, M_np.shape[1]),
+                       dtype=np.float32)
+        m_t[:, :w_band, :] = np.transpose(M_np, (0, 2, 1)).astype(np.float32)
+        fetch = (-(-(w_pad + 128) // 128) * 128) + 128
+        xlen = int(starts_np[-1]) + fetch
+        up = np.zeros((8, xlen), dtype=np.float32)
+        up[:, :min(xlen, u_len)] = u[:, :min(xlen, u_len)]
+        y = np.asarray(pf.general_resample_pallas(
+            jnp.asarray(up), jnp.asarray(m_t),
+            jnp.asarray(starts_np, dtype=jnp.int32),
+            w_band=w_band, tile=M_np.shape[1], ts=8,
+            interpret=True))[:, :count]
+        frames = np.stack([up[:, s:s + w_band] for s in starts_np], axis=1)
+        y_ref = np.einsum('stw,tpw->stp', frames.astype(np.float64),
+                          M_np).reshape(8, -1)[:, :count]
+        np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-4)
+
+    def test_vmem_gate(self):
+        # Oversized band width must refuse a stream tile.
+        assert pf.choose_general_tile(1 << 20, 256, 64) == 0
+        assert pf.choose_general_tile(512, 256, 64) == pf.STREAM_TILE
+        assert pf.choose_general_tile(512, 256, 4) == 0  # batch too small

@@ -62,8 +62,11 @@ class TestShardedStreaming:
         got = np.concatenate(outs, axis=1)
         # The fused step's stream is the canonical stream preceded by the
         # convolution-ramp prefix; drop it and compare lane-for-lane.
-        from go_audio_resampler_tpu.engine.oneshot import _fused_rational_matrix
+        from go_audio_resampler_tpu.engine.oneshot import (
+            _fused_rational_matrix, superframe)
         r, p2_, ipx, lam = _fused_rational_matrix(plan)
+        r, ipx = superframe(r, ipx, kf_cap=max(1, 128 // ipx))
+        p2_ = r.shape[0]
         carry_len = lam + -(-max(r.shape[1] - ipx - lam, 0) // ipx) * ipx
         drop = ((carry_len - lam) // ipx) * p2_
         got = got[:, drop:]

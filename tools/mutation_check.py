@@ -59,6 +59,46 @@ MUTATIONS = [
         ["tests/test_independent_oracle.py", "tests/test_engine_core.py"],
         "oneshot host walk: phase origin off by one frac unit",
     ),
+    # --- kernel tier (VERDICT r2 #8: the Pallas/conv lowerings had no
+    # mutation coverage; interpret-mode parity tests must catch these) ---
+    (
+        "go_audio_resampler_tpu/ops/pallas_fused.py",
+        "frames_ref[f * ts:(f + 1) * ts, :] = (\n"
+        "            xv_ref[:, f * ipx:f * ipx + wx_pad])",
+        "frames_ref[f * ts:(f + 1) * ts, :] = (\n"
+        "            xv_ref[:, f * ipx + 1:f * ipx + wx_pad + 1])",
+        ["tests/test_pallas_kernel.py"],
+        "pallas rational kernel: frame window start off by one",
+    ),
+    (
+        "go_audio_resampler_tpu/ops/pallas_fused.py",
+        "    off = starts_ref[j] - starts_ref[j] // 128 * 128\n"
+        "    xv_ref[:, :] = pltpu.roll(raw_ref[lin % 2], fetch - off, 1)",
+        "    off = starts_ref[j] - starts_ref[j] // 128 * 128 + 1\n"
+        "    xv_ref[:, :] = pltpu.roll(raw_ref[lin % 2], fetch - off, 1)",
+        ["tests/test_pallas_kernel.py"],
+        "pallas general kernel: alignment-roll residual off by one",
+    ),
+    (
+        "go_audio_resampler_tpu/engine/oneshot.py",
+        "    rs = np.zeros((kf * p, ws), dtype=r.dtype)\n"
+        "    for f in range(kf):\n"
+        "        rs[f * p:(f + 1) * p, f * ipx:f * ipx + w] = r",
+        "    rs = np.zeros((kf * p, ws), dtype=r.dtype)\n"
+        "    for f in range(kf):\n"
+        "        rs[f * p:(f + 1) * p, f * (ipx - 1):f * (ipx - 1) + w] = r",
+        ["tests/test_pipeline_fused.py", "tests/test_engine_core.py"],
+        "superframe block-Toeplitz: shifted diagonal (banded off-by-one)",
+    ),
+    (
+        "go_audio_resampler_tpu/ops/convolve.py",
+        "        return jnp.zeros((w, p * f), x.dtype).at[\n"
+        "            jnp.asarray(ii * stride + tau),",
+        "        return jnp.zeros((w, p * f), x.dtype).at[\n"
+        "            jnp.asarray(ii * stride + tau + 1) % w,",
+        ["tests/test_engine_core.py"],
+        "banded conv matrix: tap row off by one",
+    ),
 ]
 
 

@@ -1,0 +1,148 @@
+"""Measure quality metrics on ACTUAL TPU output via the default paths.
+
+The CPU x64 suite (tests/) proves the math; this artifact proves the
+*shipped* compute path: float32 on the real TPU backend with the Pallas
+kernels default-on.  It runs the THD / DC-gain / anti-alias / ripple
+metrics on device output, asserts the float32 floors the suite pins
+(tests/test_quality_f32.py), runs compiled Pallas-vs-XLA parity checks
+for the rational, decimation and general kernels, and writes
+QUALITY_tpu.json next to BENCH_r*.json for the record.
+
+Reference anchor: the Go suite measures its quality thresholds against
+the same engine it ships (quality_regression_test.go:26-58); this is the
+TPU-hardware equivalent.
+
+Usage:  python tools/quality_tpu.py [--out QUALITY_tpu.json] [--allow-cpu]
+Exit code 1 if any floor or parity check fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+N = 65536
+FFT = 16384
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY_tpu.json")
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="run on a non-TPU backend (smoke only; the "
+                         "artifact is only meaningful on TPU)")
+    args = ap.parse_args()
+
+    import jax
+    from go_audio_resampler_tpu.engine import plan_engine
+    from go_audio_resampler_tpu.filterdesign import Quality
+    from go_audio_resampler_tpu.utils import metrics, signals
+    osm = importlib.import_module('go_audio_resampler_tpu.engine.oneshot')
+
+    backend = jax.default_backend()
+    if backend != "tpu" and not args.allow_cpu:
+        print(f"refusing to run on backend {backend!r} "
+              "(pass --allow-cpu for a smoke run)")
+        return 1
+
+    results: dict = {"backend": backend, "dtype": "float32", "checks": {}}
+    failures = []
+
+    def record(name, value, ok, note=""):
+        results["checks"][name] = {"value": value, "pass": bool(ok),
+                                   **({"note": note} if note else {})}
+        status = "ok  " if ok else "FAIL"
+        print(f"  [{status}] {name} = {value}")
+        if not ok:
+            failures.append(name)
+
+    def run(plan, x):
+        return np.asarray(osm.oneshot(plan, np.asarray(x, np.float32)[None],
+                                      dtype=np.float32))[0].astype(np.float64)
+
+    # --- THD floors (f32, default/Pallas path) ---------------------------
+    print("THD floors on device output:")
+    for q, floor in [(Quality.LOW, -130.0), (Quality.HIGH, -140.0),
+                     (Quality.VERY_HIGH, -140.0)]:
+        plan = plan_engine(44100.0, 48000.0, q)
+        y = run(plan, signals.sine(N, 1000.0, 44100))
+        val = metrics.thd(y, 48000, 1000.0, FFT)
+        record(f"thd_44k_48k_{q.name.lower()}_db", round(val, 2),
+               val <= floor, f"floor {floor}")
+
+    # --- decimation THD + steady-state anti-alias ------------------------
+    plan = plan_engine(96000.0, 48000.0, Quality.HIGH)
+    y = run(plan, signals.sine(N, 1000.0, 96000))
+    val = metrics.thd(y, 48000, 1000.0, FFT)
+    record("thd_96k_48k_high_db", round(val, 2), val <= -130.0,
+           "floor -130")
+
+    # alias rejection: tone above the output Nyquist must vanish
+    f_alias = 30000.0   # 96k tone at 30 kHz -> aliases to 18 kHz at 48k out
+    x = signals.sine(N, f_alias, 96000)
+    y = run(plan, x)
+    mid = y[len(y) // 4: -len(y) // 4]
+    att = -20.0 * np.log10(max(np.sqrt(np.mean(mid ** 2)) * np.sqrt(2.0),
+                               1e-12))
+    record("alias_rejection_96k_48k_db", round(att, 1), att >= 100.0,
+           "floor 100 (f32 noise floor bounds this, not the filter)")
+
+    # --- DC gain ----------------------------------------------------------
+    plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+    y = run(plan, signals.dc(16384))
+    dc = metrics.dc_gain(y)
+    record("dc_gain_44k_48k_high", round(float(dc), 6),
+           abs(dc - 1.0) <= 1e-3, "|dc-1| <= 1e-3")
+
+    # --- passband ripple --------------------------------------------------
+    freqs = [1000.0, 5000.0, 10000.0, 15000.0]
+    amps = []
+    for f in freqs:
+        y = run(plan, signals.sine(N, f, 44100))
+        mid = y[len(y) // 4: -len(y) // 4]
+        amps.append(np.sqrt(np.mean(mid ** 2)) * np.sqrt(2.0))
+    ripple = 20.0 * np.log10(max(amps) / min(amps))
+    record("passband_ripple_44k_48k_db", round(float(ripple), 4),
+           ripple <= 2.0, "floor 2.0 dB p-p")
+
+    # --- compiled Pallas-vs-XLA parity (the kernels the defaults ship) ---
+    print("Compiled Pallas-vs-XLA parity (hardware numerics):")
+    import os as _os
+    rng = np.random.default_rng(0)
+
+    def parity(name, inr, outr, q, n=44100, tol=2e-5):
+        plan = plan_engine(float(inr), float(outr), q)
+        x = (rng.normal(size=(64, n)) * 0.5).astype(np.float32)
+        y_def = np.asarray(osm.oneshot(plan, x, dtype=np.float32))
+        _os.environ['GAR_TPU_USE_PALLAS'] = '0'
+        osm._oneshot_jit.clear_cache()
+        try:
+            y_xla = np.asarray(osm.oneshot(plan, x, dtype=np.float32))
+        finally:
+            del _os.environ['GAR_TPU_USE_PALLAS']
+            osm._oneshot_jit.clear_cache()
+        d = float(np.abs(y_def - y_xla).max())
+        record(f"pallas_parity_{name}_maxdiff", d, d <= tol, f"tol {tol}")
+
+    if backend == "tpu":
+        parity("rational_cd_dat", 44100, 48000, Quality.HIGH)
+        parity("decimation_2x", 96000, 48000, Quality.HIGH)
+        parity("general_44k_48k001", 44100, 48001, Quality.HIGH)
+    else:
+        print("  (skipped off-TPU: the Pallas dispatch gate is closed)")
+
+    out = pathlib.Path(args.out)
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print(f"wrote {out} — {len(failures)} failure(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
