@@ -177,8 +177,11 @@ def main() -> None:
     # fused periodic matmul does not apply; 44.1k->48.001k has no small
     # exact rational form)
     if wanted("general_gather_44k_48k001"):
+        # Wide batch contrast: the x-domain Pallas path is fast enough
+        # that 64-vs-512 left the time delta under the tunnel jitter
+        # floor (round-3: 1.1 ms at 448 marginal streams).
         results["general_gather_44k_48k001"] = oneshot_bench(
-            44100, 48001, Quality.HIGH, 44100, 64, 512)
+            44100, 48001, Quality.HIGH, 44100, 128, 2048)
 
     # 8. pipeline path: api.Resampler multi-stage half-band chain
     # (48k->8k = 2x half-band + 2/3 polyphase), including the per-stage
@@ -188,11 +191,14 @@ def main() -> None:
         n = 48000
 
         def make_pipeline(s):
-            # max_input_size tunes the internal device block: one block
-            # per stage call instead of 24, cutting the per-call tunnel
-            # round-trips that dominate this host-orchestrated path.
+            # max_input_size 16384 -> a ~22k fused block: every
+            # 48000-sample call runs >= 2 device blocks, so the
+            # min-of-15 statistic always times real work (with one huge
+            # block, calls alternate between zero and one block and the
+            # minimum is meaningless), while launches stay few (this
+            # host-fed path pays the tunnel's per-launch latency).
             r = gar.new_resampler(gar.Config(
-                48000, 8000, channels=s, max_input_size=65536,
+                48000, 8000, channels=s, max_input_size=16384,
                 quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
                 dtype=np.float32))
             chans = [rng.normal(size=n).astype(np.float32) * 0.5
@@ -213,7 +219,7 @@ def main() -> None:
 
         def make_pipeline_deep(s):
             r = gar.new_resampler(gar.Config(
-                192000, 8000, channels=s, max_input_size=65536,
+                192000, 8000, channels=s, max_input_size=16384,
                 quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
                 dtype=np.float32))
             chans = [rng.normal(size=n).astype(np.float32) * 0.5
@@ -225,6 +231,46 @@ def main() -> None:
             return f
         results["pipeline_192k_8k_high"] = slope_msps(
             make_pipeline_deep, max(8 // scale, 1), max(32 // scale, 2), n)
+
+    # 8d. fused-pipeline serving step: the composite banded operator's
+    # device step chained on-device (same methodology as the headline
+    # streaming_44k_48k_fused_step — the host-inclusive entries above
+    # are bounded by the test tunnel's ingress bandwidth, not compute).
+    if wanted("pipeline_fused_step_48k_8k"):
+        import go_audio_resampler_tpu as gar
+        from go_audio_resampler_tpu.engine.streaming import \
+            _fused_banded_step
+        r = gar.new_resampler(gar.Config(
+            48000, 8000, channels=1, max_input_size=8192,
+            quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
+            dtype=np.float32))
+        eng = r._fused
+        assert eng is not None
+        rt, ipx, wx, p2 = (eng._banded_rt, eng._banded_ipx,
+                           eng._banded_wx, eng._banded_p2)
+        carry_len = eng._banded_carry
+        blk = eng.block
+        n_steps = 16
+
+        def make_fused_pipe(s):
+            x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32))
+
+            @jax.jit
+            def g(xx):
+                def body(carry, _):
+                    c, acc = carry
+                    c2, y, n_ = _fused_banded_step(rt, c, xx, ipx=ipx,
+                                                   wx=wx, p2=p2)
+                    return (c2, acc + jnp.sum(y)), None
+                init = (jnp.zeros((s, carry_len), jnp.float32),
+                        jnp.float32(0))
+                (c, acc), _ = jax.lax.scan(body, init, None,
+                                           length=n_steps)
+                return acc
+            return lambda: g(x)
+        results["pipeline_fused_step_48k_8k"] = slope_msps(
+            make_fused_pipe, max(32 // scale, 1), max(256 // scale, 2),
+            blk * n_steps)
 
     # 8c. end-to-end streaming: host-inclusive EngineCore.process at
     # realistic block sizes (whole-system companion to the fused-step

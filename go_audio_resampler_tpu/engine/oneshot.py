@@ -367,7 +367,7 @@ def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
     return y.reshape(xs.shape[0], n_frames * P)[:, :count]
 
 
-def superframe(r: np.ndarray, ipx: int, *, max_overlap: float = 0.5,
+def superframe(r: np.ndarray, ipx: int, *, max_overlap: float = 1.5,
                max_bytes: int = 64 << 20, kf_cap: int | None = None):
     """Group kf periods per frame: block-Toeplitz [kf*P, W + (kf-1)*I].
 
@@ -379,7 +379,9 @@ def superframe(r: np.ndarray, ipx: int, *, max_overlap: float = 0.5,
     (<= 1 + max_overlap by choice of kf), at the cost of a
     [kf*P, W+(kf-1)*I] matrix whose zeros add ~max_overlap extra MACs —
     MXU headroom is the cheap resource here, HBM bandwidth the scarce
-    one.  Returns (r_super, ipx_super); identity when already compact.
+    one.  Returns (r_super, ipx_super); identity when already compact
+    (the 1.5 default leaves moderately overlapped shapes like CD->DAT,
+    W/I = 1.7, on their proven round-2 kernel geometry).
 
     ``kf_cap`` bounds the super-period in input samples (streaming
     engines cap it near their block size to keep latency).

@@ -303,12 +303,14 @@ def choose_stream_tile(ipx: int, wx: int, p2: int, tf: int,
 
     The estimate covers only the explicit scratch list; Mosaic adds
     block double-buffers, lane padding of the odd p2 (147 -> 256) and
-    matmul temporaries.  For the tf = 128 family that overhead measured
-    2.28x the estimate (48k->44.1k at ts=16: 19.41 MB actual vs 8.5
-    estimated, compile OOM), so those shapes carry a 2.4x safety factor;
-    the tf <= 32 shapes compile well inside the limit as estimated.
+    matmul temporaries.  That overhead measured 2.28x the estimate for
+    the tf = 128 family (48k->44.1k at ts=16: 19.41 MB actual vs 8.5
+    estimated) and 22.09 MB vs a 14 MB estimate for a superframed
+    CD->DAT shape in round 3, so EVERY shape carries the 2.4x safety
+    factor (costs at most one stream-tile step on shapes that would
+    have fit exactly).
     """
-    factor = 2.4 if tf > 32 else 1.0
+    factor = 2.4
     for ts in (STREAM_TILE, 32, 16, 8):
         if (s >= ts
                 and vmem_bytes(ipx, wx, p2, tf, ts) * factor <= VMEM_BUDGET):

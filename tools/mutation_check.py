@@ -96,7 +96,7 @@ MUTATIONS = [
         "            jnp.asarray(ii * stride + tau),",
         "        return jnp.zeros((w, p * f), x.dtype).at[\n"
         "            jnp.asarray(ii * stride + tau + 1) % w,",
-        ["tests/test_engine_core.py"],
+        ["tests/test_metrics.py"],
         "banded conv matrix: tap row off by one",
     ),
 ]
