@@ -183,6 +183,45 @@ def main() -> None:
         results["general_gather_44k_48k001"] = oneshot_bench(
             44100, 48001, Quality.HIGH, 44100, 128, 2048)
 
+    # 7b. STREAMING general path: the same non-exact ratio through
+    # EngineCore's per-block step (stages.poly_process two-limb walk +
+    # tiled gather/einsum emit) chained on-device — the streaming
+    # counterpart of config 7 (whose per-(plan,length) tile matrices do
+    # not apply to a stateful stream).
+    if wanted("streaming_general_step_44k_48k001"):
+        from go_audio_resampler_tpu.engine.streaming import EngineCore
+
+        plan_g = plan_engine(44100.0, 48001.0, Quality.HIGH)
+        # 64 chained steps and a 16->256 stream contrast: this path runs
+        # ~8 Gs/s, so the smaller geometry left the marginal time under
+        # the 2 ms jitter floor and the slope collapsed to the tunnel
+        # latency bound (139 Ms/s quoted for an ~8 Gs/s device path).
+        n_steps = 64
+
+        def make_general_stream(s):
+            eng = EngineCore(plan_g, batch=s, block=2048,
+                             dtype=jnp.float32)
+            st0 = eng._init_state()
+            f = eng.core_fn()
+            x = jnp.asarray(
+                rng.normal(size=(s, eng.block)).astype(np.float32))
+
+            @jax.jit
+            def g():
+                def body(carry, _):
+                    st, acc = carry
+                    st2, y, n_ = f(st, x)
+                    return (st2, acc + jnp.sum(y)), None
+                (st, acc), _ = jax.lax.scan(
+                    body, (st0, jnp.float32(0)), None, length=n_steps)
+                return acc
+            return g
+        blk_g = EngineCore(plan_g, batch=1, block=2048,
+                           dtype=jnp.float32).block
+        results["streaming_general_step_44k_48k001"] = slope_msps(
+            make_general_stream, max(16 // scale, 1),
+            max(256 // scale, 2), blk_g * n_steps)
+
     # 8. pipeline path: api.Resampler multi-stage half-band chain
     # (48k->8k = 2x half-band + 2/3 polyphase), including the per-stage
     # host orchestration cost
@@ -250,7 +289,12 @@ def main() -> None:
                            eng._banded_wx, eng._banded_p2)
         carry_len = eng._banded_carry
         blk = eng.block
-        n_steps = 16
+        # 64 chained steps and a 64->512 stream contrast: the composite
+        # runs ~14 Gs/s, so 16 steps x 224 marginal streams left the
+        # time delta under the 2 ms jitter floor and the slope collapsed
+        # to the tunnel-latency lower bound (round 3: 1.3 Gs/s quoted
+        # for a 14 Gs/s device path).
+        n_steps = 64
 
         def make_fused_pipe(s):
             x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32))
@@ -269,7 +313,7 @@ def main() -> None:
                 return acc
             return lambda: g(x)
         results["pipeline_fused_step_48k_8k"] = slope_msps(
-            make_fused_pipe, max(32 // scale, 1), max(256 // scale, 2),
+            make_fused_pipe, max(64 // scale, 1), max(512 // scale, 2),
             blk * n_steps)
 
     # 8c. end-to-end streaming: host-inclusive EngineCore.process at
