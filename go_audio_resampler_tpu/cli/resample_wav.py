@@ -77,8 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-parallel", action="store_true",
                    help="accepted for compatibility; channels are always "
                         "processed batched on the device")
-    p.add_argument("-bits", type=int, default=0, choices=[0, 16, 24, 32],
-                   help="output bit depth (default: match input)")
+    p.add_argument("-bits", type=str, default="0",
+                   choices=["0", "16", "24", "32", "32f"],
+                   help="output encoding: 16/24/32 integer PCM or 32f "
+                        "(IEEE float32); default: match input depth as PCM")
     p.add_argument("-v", action="store_true", help="verbose output")
     p.add_argument("-profile", metavar="DIR", default=None,
                    help="write a JAX profiler trace to DIR")
@@ -157,6 +159,10 @@ def run_batch(args, preset) -> int:
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Normalize -bits: "0" = match input (falsy), "32f" = IEEE float32
+    # (passed through to WavWriter as-is), else integer PCM depth.
+    args.bits = (0 if args.bits == "0"
+                 else args.bits if args.bits == "32f" else int(args.bits))
 
     from ..api import QualityPreset
     from ..convenience import preset_to_engine_quality

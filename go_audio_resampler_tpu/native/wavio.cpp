@@ -41,6 +41,9 @@ struct Writer {
   uint32_t sample_rate = 0;
   uint16_t channels = 0;
   uint16_t bits = 0;
+  uint16_t format = 1;          // 1 = PCM, 3 = IEEE float32
+  uint32_t data_size_pos = 40;  // file offset of the data chunk size field
+  uint32_t fact_pos = 0;        // file offset of the fact frame count (fmt 3)
   uint64_t data_bytes = 0;
   std::vector<uint8_t> buf;
 };
@@ -175,9 +178,19 @@ void wav_read_close(void* handle) {
 
 // ---- writer ----------------------------------------------------------------
 
-void* wav_write_open(const char* path, uint32_t rate, uint32_t channels,
-                     uint32_t bits) {
-  if (bits != 16 && bits != 24 && bits != 32) return nullptr;
+// fmt 1 = integer PCM (16/24/32 bit); fmt 3 = IEEE float32 (requires
+// bits == 32).  The float header follows the WAVE_FORMAT_IEEE_FLOAT
+// convention: 18-byte fmt chunk (cbSize = 0) plus a fact chunk whose
+// frame count is patched on close, like the RIFF/data sizes.
+void* wav_write_open_fmt(const char* path, uint32_t rate, uint32_t channels,
+                         uint32_t bits, uint32_t fmt) {
+  if (fmt == 1) {
+    if (bits != 16 && bits != 24 && bits != 32) return nullptr;
+  } else if (fmt == 3) {
+    if (bits != 32) return nullptr;
+  } else {
+    return nullptr;
+  }
   FILE* f = fopen(path, "wb");
   if (!f) return nullptr;
   auto* w = new Writer();
@@ -185,23 +198,37 @@ void* wav_write_open(const char* path, uint32_t rate, uint32_t channels,
   w->sample_rate = rate;
   w->channels = (uint16_t)channels;
   w->bits = (uint16_t)bits;
+  w->format = (uint16_t)fmt;
   // Provisional header; sizes patched on close (main.go:644-683 analog).
   std::vector<uint8_t> h;
   put_u32(h, kRiffMagic);
   put_u32(h, 36);  // patched later
   put_u32(h, kWaveMagic);
   put_u32(h, kFmtMagic);
-  put_u32(h, 16);
-  put_u16(h, 1);  // PCM
+  put_u32(h, fmt == 3 ? 18 : 16);
+  put_u16(h, (uint16_t)fmt);
   put_u16(h, w->channels);
   put_u32(h, rate);
   put_u32(h, rate * channels * (bits / 8));
   put_u16(h, (uint16_t)(channels * (bits / 8)));
   put_u16(h, (uint16_t)bits);
+  if (fmt == 3) {
+    put_u16(h, 0);  // cbSize
+    put_u32(h, 0x74636166);  // "fact"
+    put_u32(h, 4);
+    w->fact_pos = (uint32_t)h.size();
+    put_u32(h, 0);  // frame count, patched later
+  }
   put_u32(h, kDataMagic);
+  w->data_size_pos = (uint32_t)h.size();
   put_u32(h, 0);  // patched later
   fwrite(h.data(), 1, h.size(), f);
   return w;
+}
+
+void* wav_write_open(const char* path, uint32_t rate, uint32_t channels,
+                     uint32_t bits) {
+  return wav_write_open_fmt(path, rate, channels, bits, 1);
 }
 
 // Writes interleaved normalized float32 frames, clamped to [-1, 1] and
@@ -211,6 +238,14 @@ int64_t wav_write_samples(void* handle, const float* in, int64_t frames) {
   if (!w) return -1;
   const int64_t n = frames * w->channels;
   const uint32_t bps = w->bits / 8;
+  if (w->format == 3) {
+    // IEEE float32: bytes pass through unscaled (and unclamped — float
+    // output keeps headroom above full scale, matching libsoxr's float
+    // I/O convention).  Little-endian hosts only (x86/ARM).
+    size_t wrote = fwrite(in, 4, (size_t)n, w->f);
+    w->data_bytes += wrote * 4;
+    return (int64_t)(wrote / w->channels);
+  }
   w->buf.resize((size_t)n * bps);
   uint8_t* p = w->buf.data();
   if (w->bits == 16) {
@@ -247,12 +282,18 @@ int64_t wav_write_samples(void* handle, const float* in, int64_t frames) {
 int wav_write_close(void* handle) {
   auto* w = static_cast<Writer*>(handle);
   if (!w) return -1;
-  // Patch RIFF and data chunk sizes.
-  uint32_t riff_size = (uint32_t)(36 + w->data_bytes);
+  // Patch RIFF and data chunk sizes (and the fact frame count for fmt 3).
+  uint32_t riff_size = (uint32_t)(w->data_size_pos - 8 + 4 + w->data_bytes);
   uint32_t data_size = (uint32_t)w->data_bytes;
   fseek(w->f, 4, SEEK_SET);
   fwrite(&riff_size, 4, 1, w->f);
-  fseek(w->f, 40, SEEK_SET);
+  if (w->fact_pos) {
+    uint32_t nframes =
+        (uint32_t)(w->data_bytes / (w->channels * (w->bits / 8)));
+    fseek(w->f, (long)w->fact_pos, SEEK_SET);
+    fwrite(&nframes, 4, 1, w->f);
+  }
+  fseek(w->f, (long)w->data_size_pos, SEEK_SET);
   fwrite(&data_size, 4, 1, w->f);
   int rc = fclose(w->f);
   delete w;

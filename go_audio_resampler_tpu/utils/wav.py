@@ -49,6 +49,10 @@ def _load_native():
         lib.wav_write_open.restype = ctypes.c_void_p
         lib.wav_write_open.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
                                        ctypes.c_uint32, ctypes.c_uint32]
+        lib.wav_write_open_fmt.restype = ctypes.c_void_p
+        lib.wav_write_open_fmt.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
+                                           ctypes.c_uint32, ctypes.c_uint32,
+                                           ctypes.c_uint32]
         lib.wav_write_samples.restype = ctypes.c_int64
         lib.wav_write_samples.argtypes = [ctypes.c_void_p,
                                           ctypes.POINTER(ctypes.c_float),
@@ -164,23 +168,33 @@ class WavReader:
 
 
 class WavWriter:
-    """Streaming WAV writer taking [frames, channels] float32 blocks."""
+    """Streaming WAV writer taking [frames, channels] float32 blocks.
+
+    ``bits`` selects the sample encoding: 16/24/32 integer PCM, or the
+    string ``"32f"`` for IEEE float32 (WAVE_FORMAT_IEEE_FLOAT, format
+    tag 3 with a fact chunk) — float output passes samples through
+    unscaled and unclamped, preserving headroom above full scale.
+    """
 
     def __init__(self, path: str, sample_rate: int, channels: int,
-                 bits: int = 16, use_native: bool | None = None):
-        if bits not in (16, 24, 32):
-            raise ValueError("bits must be 16, 24, or 32")
+                 bits: int | str = 16, use_native: bool | None = None):
+        if bits in ("32f", "f32", "float32"):
+            self.bits, self.fmt = 32, 3
+        elif bits in (16, 24, 32):
+            self.bits, self.fmt = int(bits), 1
+        else:
+            raise ValueError("bits must be 16, 24, 32, or '32f'")
         self.path = str(path)
         self.sample_rate = int(sample_rate)
         self.channels = int(channels)
-        self.bits = int(bits)
         lib = _load_native() if use_native in (None, True) else None
         if use_native is True and lib is None:
             raise RuntimeError("native wavio library unavailable")
         self._lib = lib
         if lib is not None:
-            self._h = lib.wav_write_open(self.path.encode(), self.sample_rate,
-                                         self.channels, self.bits)
+            self._h = lib.wav_write_open_fmt(
+                self.path.encode(), self.sample_rate, self.channels,
+                self.bits, self.fmt)
             if not self._h:
                 raise IOError(f"cannot create WAV file: {path}")
         else:
@@ -211,6 +225,18 @@ class WavWriter:
         # fallback: assemble and write whole file
         data = (np.concatenate(self._chunks, axis=0) if self._chunks
                 else np.zeros((0, self.channels), np.float32))
+        if self.fmt == 3:
+            pcm = data.astype("<f4").tobytes()
+            nframes = data.shape[0]
+            hdr = b"RIFF" + struct.pack("<I", 50 + len(pcm)) + b"WAVE"
+            hdr += b"fmt " + struct.pack("<IHHIIHHH", 18, 3, self.channels,
+                                         self.sample_rate,
+                                         self.sample_rate * self.channels * 4,
+                                         self.channels * 4, 32, 0)
+            hdr += b"fact" + struct.pack("<II", 4, nframes)
+            hdr += b"data" + struct.pack("<I", len(pcm))
+            pathlib.Path(self.path).write_bytes(hdr + pcm)
+            return
         x = np.clip(data, -1.0, 1.0).reshape(-1)
         if self.bits == 16:
             pcm = np.rint(x * 32767.0).astype("<i2").tobytes()

@@ -214,6 +214,33 @@ class TestWavIO:
         with pytest.raises(ValueError):
             WavWriter(tmp_path / "x.wav", 8000, 1, 12)
 
+    @pytest.mark.parametrize("wnative", [True, False])
+    @pytest.mark.parametrize("rnative", [True, False])
+    def test_float32_roundtrip_exact(self, tmp_path, wnative, rnative):
+        """IEEE-float output (bits='32f') is bit-exact and unclamped,
+        including values above full scale, across both writer/reader
+        implementations."""
+        if (wnative or rnative) and _load_native() is None:
+            pytest.skip("native wavio unavailable")
+        rng = np.random.RandomState(7)
+        sig = (rng.normal(size=(777, 2)) * 1.5).astype(np.float32)
+        p = tmp_path / "f.wav"
+        w = WavWriter(p, 96000, 2, "32f", use_native=wnative)
+        w.write(sig[:300])
+        w.write(sig[300:])
+        w.close()
+        r = WavReader(p, use_native=rnative)
+        assert (r.sample_rate, r.channels, r.bits) == (96000, 2, 32)
+        assert r.num_frames == 777
+        got = r.read(2000)
+        r.close()
+        assert np.array_equal(got, sig)
+        assert np.abs(got).max() > 1.0  # headroom preserved, not clamped
+
+    def test_float32_requires_32(self, tmp_path):
+        with pytest.raises(ValueError):
+            WavWriter(tmp_path / "x.wav", 8000, 1, "24f")
+
 
 class TestCLI:
     def test_resample_wav_end_to_end(self, tmp_path):
@@ -231,6 +258,25 @@ class TestCLI:
         r = WavReader(outp, use_native=False)
         assert r.sample_rate == 48000
         assert abs(r.num_frames - 4410 * 48000 / 44100) < 100
+
+    def test_resample_wav_float_output(self, tmp_path):
+        from go_audio_resampler_tpu.cli import resample_wav
+        t = np.arange(4410) / 44100
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        inp = tmp_path / "in.wav"
+        outp = tmp_path / "out.wav"
+        w = WavWriter(inp, 44100, 1, 16, use_native=False)
+        w.write(sig)
+        w.close()
+        rc = resample_wav.run([str(inp), str(outp), "-rate", "48000",
+                               "-quality", "medium", "-bits", "32f"])
+        assert rc == 0
+        r = WavReader(outp, use_native=False)
+        # format tag 3, 32-bit float payload
+        assert getattr(r, "_format", 3) == 3
+        assert (r.sample_rate, r.bits) == (48000, 32)
+        got = r.read(r.num_frames)
+        assert got.dtype == np.float32 and got.shape[0] > 4700
 
     def test_resample_wav_missing_input(self, tmp_path):
         from go_audio_resampler_tpu.cli import resample_wav
