@@ -275,12 +275,16 @@ def main() -> None:
     # device step chained on-device (same methodology as the headline
     # streaming_44k_48k_fused_step — the host-inclusive entries above
     # are bounded by the test tunnel's ingress bandwidth, not compute).
-    if wanted("pipeline_fused_step_48k_8k"):
+    # Two chain depths: 48k->8k (2 half-bands + 2/3 residual) and
+    # 192k->8k (4 half-bands + 2/3 residual, W/I ~ 1200).
+    for in_rate, name in ((48000, "pipeline_fused_step_48k_8k"),
+                          (192000, "pipeline_fused_step_192k_8k")):
+      if wanted(name):
         import go_audio_resampler_tpu as gar
         from go_audio_resampler_tpu.engine.streaming import \
             _fused_banded_step
         r = gar.new_resampler(gar.Config(
-            48000, 8000, channels=1, max_input_size=8192,
+            in_rate, 8000, channels=1, max_input_size=8192,
             quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
             dtype=np.float32))
         eng = r._fused
@@ -312,7 +316,7 @@ def main() -> None:
                                            length=n_steps)
                 return acc
             return lambda: g(x)
-        results["pipeline_fused_step_48k_8k"] = slope_msps(
+        results[name] = slope_msps(
             make_fused_pipe, max(64 // scale, 1), max(512 // scale, 2),
             blk * n_steps)
 
