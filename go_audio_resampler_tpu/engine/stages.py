@@ -187,6 +187,57 @@ def gather_windows(signal: jax.Array, starts: jax.Array, width: int) -> jax.Arra
     return jnp.take(signal, idx, axis=1)
 
 
+#: outputs per banded-emit tile (two 128-lane groups)
+POLY_EMIT_TILE = 256
+
+
+def _banded_emit_on() -> bool:
+    """Trace-time lowering choice for the streaming polyphase emit.
+
+    The banded tile matmul reorders the per-output accumulations into an
+    MXU matmul (results differ from the gather path only by float
+    summation order), so it is enabled where the throughput matters and
+    the quality floors are asserted on hardware output (QUALITY_tpu.json):
+    TPU float32.  ``GAR_TPU_BANDED_EMIT=0`` opts out for A/B runs.
+    """
+    import os
+    return (jax.default_backend() == 'tpu'
+            and os.environ.get('GAR_TPU_BANDED_EMIT', '1') != '0')
+
+
+def _poly_emit_banded(banks, hist, div, phase, x, taps: int, span: int,
+                      tv: int):
+    """Banded-tile lowering of the polyphase emit (TPU float32 path).
+
+    Same trick as the one-shot tile matrices (oneshot._general_matrices)
+    and the variable-rate scan (variable._vr_scan), but the operator is
+    assembled ON DEVICE because the walk state is runtime data: per tile
+    of ``tv`` outputs the windows span at most ``span`` input samples, so
+    each output's interpolated coefficient row (poly_coeff_matrix) is
+    placed at its window offset inside a [tv, span] banded block via a
+    masked take_along_axis, one wide slab is gathered per TILE (instead
+    of one window per OUTPUT), and the emit becomes a per-tile MXU matmul
+    ``[S, span] x [span, tv]``.  MACs on structural zeros (~span/taps
+    overhead) buy the removal of the S*cap*taps per-output gather.
+    """
+    cap = div.shape[0]
+    n_t = cap // tv
+    K = poly_coeff_matrix(banks, phase, x)                   # [cap, T2]
+    div_r = div.reshape(n_t, tv)
+    i0 = div_r[:, 0]                                         # [n_t]
+    rel = div_r - i0[:, None]                                # [n_t, tv]
+    j = lax.iota(I32, span)[None, None, :] - rel[..., None]  # [n_t, tv, span]
+    inside = (j >= 0) & (j < taps)
+    Kp = jnp.pad(K.reshape(n_t, tv, taps).astype(hist.dtype),
+                 ((0, 0), (0, 0), (0, 1)))                   # zero col at T2
+    b = jnp.take_along_axis(Kp, jnp.where(inside, j, taps), axis=2)
+    slab = gather_windows(hist, i0, span)                    # [S, n_t, span]
+    y = jnp.einsum('stw,tcw->stc', slab, b,
+                   preferred_element_type=hist.dtype,
+                   precision=lax.Precision.HIGHEST)
+    return y.reshape(hist.shape[0], cap)
+
+
 def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
               num_phases: int, taps: int, step_hi: int, step_lo: int,
               cap: int, out_tile: int = 0):
@@ -195,7 +246,8 @@ def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
     Returns (y[S, cap], valid[cap], n_out, at_hi', at_lo') where the valid
     outputs are left-packed (valid is monotone).  The emitted values equal
     the reference walk's outputs exactly (same windows, same interpolated
-    coefficients).
+    coefficients); on TPU float32 the banded-tile lowering changes only
+    the float accumulation order.
     """
     L = num_phases
     hi, frac = walk16(at_hi, at_lo, step_hi, step_lo, cap)
@@ -205,23 +257,37 @@ def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
     phase = hi - div * L
     x = frac.astype(hist.dtype) * (1.0 / 65536.0)
 
-    def tile_fn(args):
-        div_t, phase_t, x_t = args
-        K = poly_coeff_matrix(banks, phase_t, x_t)          # [tile, T2]
-        w = gather_windows(hist, div_t, taps)               # [S, tile, T2]
-        return jnp.einsum('sct,ct->sc', w, K.astype(hist.dtype),
-                          preferred_element_type=hist.dtype,
-                          precision=lax.Precision.HIGHEST)
-
-    if out_tile and cap > out_tile and cap % out_tile == 0:
-        n_tiles = cap // out_tile
-        div_r = div.reshape(n_tiles, out_tile)
-        phase_r = phase.reshape(n_tiles, out_tile)
-        x_r = x.reshape(n_tiles, out_tile)
-        y = lax.map(tile_fn, (div_r, phase_r, x_r))          # [n_tiles, S, tile]
-        y = jnp.transpose(y, (1, 0, 2)).reshape(hist.shape[0], cap)
+    if (hist.dtype == jnp.float32 and cap >= 128 and _banded_emit_on()):
+        tv = POLY_EMIT_TILE if cap >= POLY_EMIT_TILE else 128
+        pad = -cap % tv
+        # Static span bound: over k < tv outputs the accumulator's
+        # integer part advances by at most (tv-1)*step_hi + (tv-1)
+        # (16-bit carry), so the window starts move < that // L + 1.
+        div_adv = ((tv - 1) * (step_hi + 1)) // L + 1
+        span = -(-(div_adv + taps) // 128) * 128
+        div_p = jnp.pad(div, (0, pad), mode='edge')
+        phase_p = jnp.pad(phase, (0, pad), mode='edge')
+        x_p = jnp.pad(x, (0, pad), mode='edge')
+        y = _poly_emit_banded(banks, hist, div_p, phase_p, x_p,
+                              taps, span, tv)[:, :cap]
     else:
-        y = tile_fn((div, phase, x))
+        def tile_fn(args):
+            div_t, phase_t, x_t = args
+            K = poly_coeff_matrix(banks, phase_t, x_t)      # [tile, T2]
+            w = gather_windows(hist, div_t, taps)           # [S, tile, T2]
+            return jnp.einsum('sct,ct->sc', w, K.astype(hist.dtype),
+                              preferred_element_type=hist.dtype,
+                              precision=lax.Precision.HIGHEST)
+
+        if out_tile and cap > out_tile and cap % out_tile == 0:
+            n_tiles = cap // out_tile
+            div_r = div.reshape(n_tiles, out_tile)
+            phase_r = phase.reshape(n_tiles, out_tile)
+            x_r = x.reshape(n_tiles, out_tile)
+            y = lax.map(tile_fn, (div_r, phase_r, x_r))     # [n_t, S, tile]
+            y = jnp.transpose(y, (1, 0, 2)).reshape(hist.shape[0], cap)
+        else:
+            y = tile_fn((div, phase, x))
 
     y = y * valid.astype(y.dtype)[None, :]
     n_out = valid.astype(I32).sum(dtype=I32)

@@ -270,3 +270,52 @@ class TestMatrixCache:
         assert p1 is not p2  # fresh object, same configuration
         m2 = os_mod._general_matrices(p2, 2048)
         assert m1[1] is m2[1]  # same cached matrices via fingerprint
+
+
+class TestBandedEmitParity:
+    """The TPU banded-tile polyphase emit (stages._poly_emit_banded) must
+    equal the per-output gather path up to float32 summation order.
+
+    The lowering itself is backend-gated (TPU float32 only); here it is
+    invoked directly so the algebra is verified in CI, and the hardware
+    numerics are covered by QUALITY_tpu.json / test_tpu_compiled.
+    """
+
+    @pytest.mark.parametrize("inr,outr", [
+        (44100, 48001),      # non-exact fractional up
+        (48000, 44100),      # fractional down
+        (96000, 44100),      # deep fractional down (largest step)
+        (44100, 44101),      # near-unity walk
+    ])
+    def test_matches_gather_path(self, inr, outr):
+        import jax.numpy as jnp
+        from go_audio_resampler_tpu.engine import stages
+
+        plan = plan_engine(float(inr), float(outr), Quality.HIGH)
+        assert plan.kind in ('two_stage', 'poly')
+        L, T = plan.num_phases, plan.poly_taps
+        q, s_lo = plan.step_hi, plan.step_lo
+        rng = np.random.default_rng(3)
+        S, HW, cap = 3, 4096, 512
+        hist = jnp.asarray(rng.normal(size=(S, HW)).astype(np.float32))
+        hist_len = jnp.int32(HW - 64)
+        banks = tuple(jnp.asarray(b, jnp.float32) for b in
+                      (plan.bank_a, plan.bank_b, plan.bank_c, plan.bank_d))
+        at_hi, at_lo = jnp.int32(37), jnp.int32(1234)
+        y0, v0, n0, _, _ = stages.poly_emit(
+            banks, hist, hist_len, at_hi, at_lo, L, T, q, s_lo, cap)
+        hi, frac = stages.walk16(at_hi, at_lo, q, s_lo, cap)
+        div = hi // L
+        phase = hi - div * L
+        x = frac.astype(hist.dtype) * (1.0 / 65536.0)
+        tv = stages.POLY_EMIT_TILE
+        pad = -cap % tv
+        div_adv = ((tv - 1) * (q + 1)) // L + 1
+        span = -(-(div_adv + T) // 128) * 128
+        y1 = stages._poly_emit_banded(
+            banks, hist,
+            jnp.pad(div, (0, pad), mode='edge'),
+            jnp.pad(phase, (0, pad), mode='edge'),
+            jnp.pad(x, (0, pad), mode='edge'), T, span, tv)[:, :cap]
+        y1 = y1 * v0.astype(y1.dtype)[None, :]
+        assert float(jnp.abs(y1 - y0).max()) < 1e-5

@@ -91,6 +91,13 @@ MUTATIONS = [
         "superframe block-Toeplitz: shifted diagonal (banded off-by-one)",
     ),
     (
+        "go_audio_resampler_tpu/engine/stages.py",
+        "    j = lax.iota(I32, span)[None, None, :] - rel[..., None]",
+        "    j = lax.iota(I32, span)[None, None, :] - rel[..., None] - 1",
+        ["tests/test_engine_core.py"],
+        "banded streaming emit: coefficient placement off by one",
+    ),
+    (
         "go_audio_resampler_tpu/ops/convolve.py",
         "        return jnp.zeros((w, p * f), x.dtype).at[\n"
         "            jnp.asarray(ii * stride + tau),",
