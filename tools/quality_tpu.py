@@ -112,6 +112,32 @@ def main() -> int:
     record("passband_ripple_44k_48k_db", round(float(ripple), 4),
            ripple <= 2.0, "floor 2.0 dB p-p")
 
+    # --- streaming engine on hardware (banded poly emit default-on) ------
+    # The one-shot checks above never touch EngineCore's stateful per-
+    # block kernels; this tier runs a chunked stream at a NON-exact ratio
+    # (the banded-tile emit path) and pins both an absolute THD floor and
+    # consistency with the one-shot lowering of the same plan.
+    print("Streaming engine (non-exact ratio) on device output:")
+    from go_audio_resampler_tpu.engine import EngineCore
+    plan = plan_engine(44100.0, 48001.0, Quality.HIGH)
+    xs = signals.sine(N, 1000.0, 44100).astype(np.float32)
+    eng = EngineCore(plan, batch=1, block=4096, dtype=np.float32)
+    chunks = [eng.process(xs[None, i:i + 4096])
+              for i in range(0, len(xs), 4096)]
+    chunks.append(eng.flush())
+    y_s = np.concatenate([c[0] for c in chunks]).astype(np.float64)
+    val = metrics.thd(y_s, 48001, 1000.0, FFT)
+    record("thd_stream_44k_48k001_high_db", round(val, 2), val <= -85.0,
+           "floor -85: the cubic inter-phase coefficient interpolation "
+           "bounds non-exact ratios (~-88.7 in float64 too, same walk "
+           "semantics as the reference; exact-rational paths measure "
+           "-155)")
+    y_o = run(plan, xs)
+    m = min(len(y_s), len(y_o))
+    d = float(np.abs(y_s[:m] - y_o[:m]).max())
+    record("stream_vs_oneshot_general_maxdiff", d,
+           len(y_s) == len(y_o) and d <= 2e-5, "tol 2e-5, equal lengths")
+
     # --- compiled Pallas-vs-XLA parity (the kernels the defaults ship) ---
     print("Compiled Pallas-vs-XLA parity (hardware numerics):")
     import os as _os
