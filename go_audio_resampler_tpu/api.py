@@ -339,16 +339,14 @@ class Resampler:
         # per-stage engines are kept for introspection and as the exact
         # semantic reference (GAR_TPU_FUSE_PIPELINE=0 forces them).
         self._fused = None
+        self._exec = self._engines
         import os as _os
         if (len(self._engines) >= 2
-                and _os.environ.get('GAR_TPU_FUSE_PIPELINE', '1') != '0'
-                and all(isinstance(e, EngineCore) for e in self._engines)):
-            op = fuse_chain([e.plan for e in self._engines])
-            if op is not None:
-                latency = sum(e.get_latency() for e in self._engines)
-                bplan = BandedPlan(op, self.ratio, latency=latency)
-                self._fused = EngineCore(bplan, batch=config.channels,
-                                         block=block, dtype=self.dtype)
+                and _os.environ.get('GAR_TPU_FUSE_PIPELINE', '1') != '0'):
+            self._exec = self._build_exec(block)
+            if (len(self._exec) == 1
+                    and getattr(self._exec[0].plan, 'kind', '') == 'banded'):
+                self._fused = self._exec[0]
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False
@@ -358,15 +356,57 @@ class Resampler:
 
     # -- core single/multi channel processing ------------------------------
 
+    def _build_exec(self, block: int) -> list:
+        """Collapse maximal runs of banded-representable stages.
+
+        Greedy longest-run-first segmentation: every run of >= 2
+        consecutive stages whose plans compose into one periodic banded
+        operator (pipeline/fused.py) is replaced by a single composite
+        EngineCore.  When the whole chain fuses this is the round-3
+        single-device-program path; when a stage blocks fusion (e.g. a
+        non-exact-rational residual, or a composite width past the
+        memory guard) the exact half-band runs around it still fuse, so
+        the host hand-offs drop from one-per-stage to one-per-segment.
+        """
+        engines = self._engines
+        exec_chain: list = []
+        i = 0
+        while i < len(engines):
+            fused_seg = None
+            if isinstance(engines[i], EngineCore):
+                for j in range(len(engines), i + 1, -1):
+                    if not all(isinstance(e, EngineCore)
+                               for e in engines[i:j]):
+                        continue
+                    op = fuse_chain([e.plan for e in engines[i:j]])
+                    if op is None:
+                        continue
+                    ratio = 1.0
+                    for e in engines[i:j]:
+                        ratio *= float(e.plan.ratio)
+                    latency = sum(e.get_latency() for e in engines[i:j])
+                    bplan = BandedPlan(op, ratio, latency=latency)
+                    fused_seg = (EngineCore(bplan,
+                                            batch=self.config.channels,
+                                            block=block, dtype=self.dtype),
+                                 j)
+                    break
+            if fused_seg is not None:
+                exec_chain.append(fused_seg[0])
+                i = fused_seg[1]
+            else:
+                exec_chain.append(engines[i])
+                i += 1
+        return exec_chain
+
     def _chain(self, frames: np.ndarray) -> np.ndarray:
         """Push frames through the stage chain (constant.go:255-293).
 
-        With a fused composite operator the whole chain is one device
-        program; otherwise each stage engine runs in sequence."""
-        if self._fused is not None:
-            return self._fused.process(frames)
+        With a fully fused composite operator the whole chain is one
+        device program; otherwise each execution segment (fused run or
+        single stage engine) runs in sequence."""
         cur = frames
-        for eng in self._engines:
+        for eng in self._exec:
             cur = eng.process(cur)
         return cur
 
@@ -493,14 +533,12 @@ class Resampler:
         fused composite drains in one step (its count model folds the
         per-stage flush semantics exactly)."""
         self._flushed = True
-        if self._fused is not None:
-            return self._take(self._fused.flush(), None)
         outs = []
-        n = len(self._engines)
+        n = len(self._exec)
         for i in range(n):
-            tail = self._engines[i].flush()
+            tail = self._exec[i].flush()
             for j in range(i + 1, n):
-                tail = self._engines[j].process(tail)
+                tail = self._exec[j].process(tail)
             outs.append(tail)
         if not outs:
             outs = [np.zeros((self.config.channels, 0), dtype=self.dtype)]
@@ -522,8 +560,9 @@ class Resampler:
         """Clear all state (constant.go:429-444)."""
         for eng in self._engines:
             eng.reset()
-        if self._fused is not None:
-            self._fused.reset()
+        for eng in self._exec:
+            if eng not in self._engines:
+                eng.reset()
         self.samples_in = 0
         self.samples_out = 0
         self._flushed = False

@@ -189,3 +189,36 @@ class TestFusedResampler:
         b = np.concatenate([rc.process(x), rc.flush()])
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
+
+
+class TestPartialFusion:
+    """When a stage blocks whole-chain fusion, the exact half-band runs
+    around it still collapse into composite segments (api._build_exec),
+    and the segmented chain equals the per-stage chain bit-tightly."""
+
+    @pytest.mark.parametrize("inr,outr", [
+        (48000, 8000.1),     # 2 half-bands + non-exact residual
+        (192000, 8000.1),    # 4 half-bands + non-exact residual
+    ])
+    def test_segments_and_parity(self, inr, outr, monkeypatch):
+        cfg = dict(channels=1, max_input_size=4096,
+                   quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+                   dtype=np.float64)
+        r = gar.new_resampler(gar.Config(inr, outr, **cfg))
+        # not fully fused, but fewer segments than stages
+        assert r._fused is None
+        assert len(r._exec) < len(r._engines)
+        assert any(getattr(e.plan, 'kind', '') == 'banded' for e in r._exec)
+
+        x = RNG.normal(size=int(inr)) * 0.5
+        y1 = np.concatenate([r.process(x), r.flush()])
+        monkeypatch.setenv("GAR_TPU_FUSE_PIPELINE", "0")
+        r2 = gar.new_resampler(gar.Config(inr, outr, **cfg))
+        y2 = np.concatenate([r2.process(x), r2.flush()])
+        assert len(y1) == len(y2)
+        assert np.abs(y1 - y2).max() < 1e-9
+
+        # reset clears composite-segment state too
+        r.reset()
+        y3 = np.concatenate([r.process(x), r.flush()])
+        np.testing.assert_array_equal(y1, y3)
