@@ -65,8 +65,10 @@ from .convenience import (
 )
 from .engine import EngineCore, plan_engine, oneshot, VariableRateResampler
 from .filterdesign import Quality as EngineQuality
+from . import functional
+from .functional import resample
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Config", "QualityPreset", "QualitySpec", "QualityFlags", "Info",
@@ -85,5 +87,5 @@ __all__ = [
     "interleave_to_stereo", "deinterleave_from_stereo",
     "interleave_to_stereo_float32", "deinterleave_from_stereo_float32",
     "EngineCore", "plan_engine", "oneshot", "EngineQuality",
-    "VariableRateResampler",
+    "VariableRateResampler", "functional", "resample",
 ]

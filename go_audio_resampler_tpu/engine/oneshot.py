@@ -116,8 +116,7 @@ def _banded_tiles_apply(u: jax.Array, starts_d: jax.Array, M_d: jax.Array,
                              int(M_d.shape[2]))
     w_pad = -(-w_band // 128) * 128
     ts = 0
-    if (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
-            and jax.default_backend() == 'tpu'
+    if (pf.dispatch_allowed()
             and jnp.dtype(dtype) == jnp.dtype(jnp.float32)):
         ts = pf.choose_general_tile(w_pad, tile, u.shape[0])
     if ts:
@@ -294,8 +293,7 @@ def _pallas_ok(dtype, s: int, ipx: int, wx: int, p2: int, tf: int) -> int:
     """
     from ..ops import pallas_fused as pf
 
-    if (os.environ.get('GAR_TPU_USE_PALLAS', '1') == '0'
-            or jax.default_backend() != 'tpu'
+    if (not pf.dispatch_allowed()
             or jnp.dtype(dtype) != jnp.dtype(jnp.float32)
             or wx - ipx >= tf * ipx):
         return 0

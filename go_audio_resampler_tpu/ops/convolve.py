@@ -123,10 +123,9 @@ def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
     y3 = None
     p = min(128, max(n_out, 1))
     nf = -(-n_out // p)
-    if (os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
-            and jax.default_backend() == 'tpu'
+    from . import pallas_fused as pf
+    if (pf.dispatch_allowed()
             and x.dtype == jnp.float32 and nf > 1):
-        from . import pallas_fused as pf
         ipx, p2 = p * stride, p * f
         r_pal, w = band_matrix(p)
         tf = pf.frame_tile_for(p2)

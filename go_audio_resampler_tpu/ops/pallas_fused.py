@@ -281,6 +281,42 @@ def general_vmem_bytes(w_pad: int, tile: int, ts: int) -> int:
                 + 2 * ts * tile)        # output block (pipelined x2)
 
 
+#: When > 0, every dispatch gate routes to the XLA lowering regardless of
+#: GAR_TPU_USE_PALLAS / backend.  Used by the differentiable functional
+#: API (functional.py): the transposed (backward) operator is traced
+#: through the XLA path, which has transpose rules; pallas_call does not.
+_FORCE_XLA_DEPTH = 0
+
+
+class force_xla:
+    """Context manager: disable Pallas dispatch for code traced inside.
+
+    Trace-time only — the gates consult this while the computation is
+    being staged, so wrapping a trace (not an execution) is what counts.
+    Re-entrant."""
+
+    def __enter__(self):
+        global _FORCE_XLA_DEPTH
+        _FORCE_XLA_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA_DEPTH
+        _FORCE_XLA_DEPTH -= 1
+        return False
+
+
+def dispatch_allowed() -> bool:
+    """Shared gate: Pallas kernels may be considered for lowering."""
+    import os
+
+    import jax
+
+    return (_FORCE_XLA_DEPTH == 0
+            and os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
+            and jax.default_backend() == 'tpu')
+
+
 def choose_general_tile(w_pad: int, tile: int, s: int) -> int:
     """Largest stream tile fitting the VMEM budget for the general kernel.
 
