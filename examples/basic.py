@@ -3,6 +3,11 @@
 Run:  python examples/basic.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import go_audio_resampler_tpu as gar

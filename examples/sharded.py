@@ -14,6 +14,11 @@ single host you can simulate one with
 Run:  python examples/sharded.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 from jax.sharding import Mesh

@@ -8,6 +8,11 @@ reference has no equivalent; see PARITY.md "Parallelism statement".
 Run:  python examples/variable_rate.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import go_audio_resampler_tpu as gar

@@ -26,6 +26,7 @@ from jax import lax
 
 from ..filterdesign.params import PHASE_FRAC_BITS
 from ..ops.convolve import conv1d_poly
+from ..ops.pallas_fused import dot_precision
 from .counts import CubicSim
 from .plan import EnginePlan
 from .stages import gather_windows, hermite4, prestage_apply
@@ -136,7 +137,7 @@ def _banded_tiles_apply(u: jax.Array, starts_d: jax.Array, M_d: jax.Array,
     frames = gather_windows(u, starts_d, w_band)       # [S, n_tiles, W]
     y = jnp.einsum('stw,tpw->stp', frames, M_d.astype(dtype),
                    preferred_element_type=u.dtype,
-                   precision=lax.Precision.HIGHEST)
+                   precision=dot_precision())
     return y.reshape(u.shape[0], -1)[:, :count]
 
 
@@ -361,7 +362,7 @@ def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
     Rt = jnp.asarray(R.T, dtype=dtype)
     y = jnp.einsum('sfw,wp->sfp', frames, Rt,
                    preferred_element_type=xs.dtype,
-                   precision=lax.Precision.HIGHEST)
+                   precision=dot_precision())
     return y.reshape(xs.shape[0], n_frames * P)[:, :count]
 
 
@@ -530,7 +531,7 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
     Rt = jnp.asarray(R.T, dtype=dtype)                      # [Wx, P2]
     y = jnp.einsum('sfw,wp->sfp', frames, Rt,
                    preferred_element_type=x.dtype,
-                          precision=lax.Precision.HIGHEST)
+                          precision=dot_precision())
     return y.reshape(x.shape[0], n_frames * P2)[:, :count]
 
 
@@ -549,7 +550,7 @@ def _poly_apply_rational(plan: EnginePlan, u: jax.Array, count: int,
     Rt = jnp.asarray(R.T, dtype=dtype)                        # [W, P]
     y = jnp.einsum('sfw,wp->sfp', frames, Rt,
                    preferred_element_type=u.dtype,
-                          precision=lax.Precision.HIGHEST)
+                          precision=dot_precision())
     return y.reshape(u.shape[0], n_frames * P)[:, :count]
 
 

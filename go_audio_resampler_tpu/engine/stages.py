@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.convolve import conv1d_poly
+from ..ops.pallas_fused import dot_precision
 
 I32 = jnp.int32
 
@@ -234,7 +235,7 @@ def _poly_emit_banded(banks, hist, div, phase, x, taps: int, span: int,
     slab = gather_windows(hist, i0, span)                    # [S, n_t, span]
     y = jnp.einsum('stw,tcw->stc', slab, b,
                    preferred_element_type=hist.dtype,
-                   precision=lax.Precision.HIGHEST)
+                   precision=dot_precision())
     return y.reshape(hist.shape[0], cap)
 
 
@@ -277,7 +278,7 @@ def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
             w = gather_windows(hist, div_t, taps)           # [S, tile, T2]
             return jnp.einsum('sct,ct->sc', w, K.astype(hist.dtype),
                               preferred_element_type=hist.dtype,
-                              precision=lax.Precision.HIGHEST)
+                              precision=dot_precision())
 
         if out_tile and cap > out_tile and cap % out_tile == 0:
             n_tiles = cap // out_tile

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.pallas_fused import dot_precision
 from ..pipeline.buffer import SampleFIFO
 from .plan import EnginePlan
 from . import stages
@@ -116,7 +117,7 @@ def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames):
     frames = stages.gather_windows(data, starts, wx)
     y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(data.dtype),
                    preferred_element_type=data.dtype,
-                   precision=lax.Precision.HIGHEST)
+                   precision=dot_precision())
     return y.reshape(s, n_frames * p2)
 
 

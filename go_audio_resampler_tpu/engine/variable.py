@@ -52,6 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from ..filterdesign import params as fdp
+from ..ops.pallas_fused import dot_precision
 from .stages import gather_windows, prestage_apply
 
 MIN_IO_RATIO = 1.0 / 256.0
@@ -127,7 +128,7 @@ def _vr_scan(carry, pre_carry, coeffs, xs, idx, frac, valid, *,
         tiles = gather_windows(histbuf, i0, span)          # [S, n_t, span]
         y = jnp.einsum('stw,tpw->stp', tiles, b,
                        preferred_element_type=u.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=dot_precision())
         y = y.reshape(x.shape[0], cap) * v.astype(u.dtype)[None, :]
         return (histbuf[:, -3:], pc2), y
 

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .pallas_fused import dot_precision
+
 _IMPL_OVERRIDE: str | None = None
 
 
@@ -52,7 +54,7 @@ def _conv_xla(x: jax.Array, kernels: jax.Array, stride: int) -> jax.Array:
         window_strides=(stride,), padding='VALID',
         dimension_numbers=('NCH', 'OIH', 'NCH'),
         preferred_element_type=x.dtype,
-                          precision=lax.Precision.HIGHEST)
+                          precision=dot_precision())
 
 
 def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
@@ -68,7 +70,7 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
         w = jnp.take(x, idx, axis=1)                     # [S, n_out, T]
         return jnp.einsum('sct,ft->sfc', w, k,
                           preferred_element_type=x.dtype,
-                          precision=lax.Precision.HIGHEST)
+                          precision=dot_precision())
     padded = -(-n_out // tile) * tile
     starts = lax.iota(jnp.int32, padded) * stride
     idx = jnp.clip(starts[:, None] + lax.iota(jnp.int32, t)[None, :], 0, n - 1)
@@ -78,7 +80,7 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
         w = jnp.take(x, ix, axis=1)                      # [S, tile, T]
         return jnp.einsum('sct,ft->sfc', w, k,
                           preferred_element_type=x.dtype,
-                          precision=lax.Precision.HIGHEST)
+                          precision=dot_precision())
 
     y = lax.map(tile_fn, idx_r)                          # [ntiles, S, F, tile]
     y = jnp.moveaxis(y, 0, 2).reshape(x.shape[0], f, padded)
@@ -151,7 +153,7 @@ def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
             + np.arange(w)[None, :], dtype=jnp.int32), axis=1)  # [S,nf,W]
         y3 = jnp.einsum('snw,wk->snk', frames, r,
                         preferred_element_type=x.dtype,
-                        precision=lax.Precision.HIGHEST)      # [S, nf, P*F]
+                        precision=dot_precision())      # [S, nf, P*F]
     if interleaved:
         # y3[s, n, ii*f + ff] = filter ff at output n*p + ii — already
         # the polyphase-interleaved stream order; flatten for free.

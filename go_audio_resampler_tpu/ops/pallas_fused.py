@@ -57,6 +57,41 @@ def frame_tile_for(p2: int) -> int:
 
 VMEM_BUDGET = 14 << 20  # scoped-VMEM gate (hardware limit 16M; headroom)
 
+#: Matmul pass tier for the float32 hot paths.  TPU MXUs execute an f32
+#: matmul as bf16 passes: DEFAULT = 1 pass, HIGH = 3 passes (each operand
+#: split hi+lo bf16, cross terms summed), HIGHEST = 6 passes (exact-f32).
+#: The serving step is MXU-bound (~15 Tf/s effective at HIGHEST), so the
+#: tier trades measured quality margin for pass count.  Default stays
+#: ``highest`` (full reference-parity numerics); ``GAR_TPU_MATMUL_PRECISION
+#: =high`` opts the banded/framing matmuls into 3-pass.  Read at TRACE
+#: time — like GAR_TPU_USE_PALLAS, toggling after a function compiled
+#: requires clearing jit caches.
+_PRECISION_TIERS = {
+    'default': lax.Precision.DEFAULT,
+    'high': lax.Precision.HIGH,
+    'highest': lax.Precision.HIGHEST,
+}
+
+
+def dot_precision() -> lax.Precision:
+    """Precision for the banded-matmul hot paths (see _PRECISION_TIERS)."""
+    import os
+
+    return _PRECISION_TIERS[
+        os.environ.get('GAR_TPU_MATMUL_PRECISION', 'highest').lower()]
+
+
+def kernel_dot_precision() -> lax.Precision:
+    """Tier for dots INSIDE Pallas kernels.
+
+    Mosaic's dot lowering accepts only DEFAULT and HIGHEST
+    (pallas/mosaic/lowering.py raises on HIGH), so the 3-pass tier maps
+    to HIGHEST here; a hand-rolled bf16x3 split would be needed to get
+    3-pass semantics on the kernel path.
+    """
+    p = dot_precision()
+    return lax.Precision.HIGHEST if p == lax.Precision.HIGH else p
+
 
 def vmem_bytes(ipx: int, wx: int, p2: int, tf: int,
                ts: int = STREAM_TILE) -> int:
@@ -111,7 +146,7 @@ def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
             xv_ref[:, f * ipx:f * ipx + wx_pad])
     out = jnp.dot(frames_ref[:, :], r_ref[:, :],
                   preferred_element_type=jnp.float32,
-                  precision=lax.Precision.HIGHEST)       # [TF*TS, P2]
+                  precision=kernel_dot_precision())             # [TF*TS, P2]
     for f in range(tf):
         y_ref[:, f, :] = out[f * ts:(f + 1) * ts, :]
 
@@ -219,7 +254,7 @@ def _general_kernel(starts_ref, x_hbm, m_ref, y_ref, raw_ref, xv_ref, sem, *,
     xv_ref[:, :] = pltpu.roll(raw_ref[lin % 2], fetch - off, 1)
     out = jnp.dot(xv_ref[:, :w_pad], m_ref[0],
                   preferred_element_type=jnp.float32,
-                  precision=lax.Precision.HIGHEST)        # [TS, tile]
+                  precision=kernel_dot_precision())              # [TS, tile]
     y_ref[:, :] = out
 
 

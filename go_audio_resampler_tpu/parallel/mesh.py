@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..engine import plan_engine, EngineCore
+from ..ops.pallas_fused import dot_precision
 from ..engine.variable import VariableRateResampler
 from ..engine.oneshot import _oneshot_aux, _oneshot_jit
 from ..engine import stages
@@ -120,7 +121,7 @@ def sharded_stream_step(plan, mesh: Mesh, batch_per_device: int,
             frames = stages.gather_windows(data, starts, wx)
             y = jnp.einsum('sfw,wp->sfp', frames, rt.astype(x.dtype),
                            preferred_element_type=x.dtype,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=dot_precision())
             y = y.reshape(x.shape[0], n_frames * p2)
             peak = jax.lax.pmax(jnp.max(jnp.abs(y)), STREAM_AXIS)
             return data[:, x.shape[1]:], y, jnp.int32(n_frames * p2), peak

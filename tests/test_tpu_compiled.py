@@ -67,6 +67,46 @@ print(f"OK {{mode}} rel_err={{err:.3e}}")
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Full streaming-engine parity: EngineCore.process/flush on the real TPU
+# with the Pallas streaming step enabled vs disabled (GAR_TPU_USE_PALLAS).
+# This covers the product path behind the serving headline
+# (streaming._fused_banded_step -> _banded_frames_apply), not just the
+# one-shot kernels above.
+_STREAM_CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+assert jax.default_backend() == 'tpu', jax.default_backend()
+from go_audio_resampler_tpu.engine import plan_engine
+from go_audio_resampler_tpu.engine.streaming import EngineCore
+from go_audio_resampler_tpu.filterdesign import Quality
+
+plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+eng = EngineCore(plan, batch=128, block=2048)
+rng = np.random.default_rng(11)
+outs = []
+for _ in range(3):
+    x = rng.normal(size=(128, 4096)).astype(np.float32)
+    outs.append(eng.process(x))
+outs.append(eng.flush())
+y = np.concatenate([o for o in outs if o.size], axis=1)
+np.save({out!r}, y)
+print('OK stream', y.shape)
+"""
+
+
+def _run_stream_child(out_path: str, use_pallas: bool):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["GAR_TPU_USE_PALLAS"] = "1" if use_pallas else "0"
+    src = _STREAM_CHILD.format(repo=_REPO, out=out_path)
+    res = subprocess.run([sys.executable, "-c", src], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "OK stream" in res.stdout, res.stdout
+
 
 def _run_child(mode: str, inr: float, outr: float):
     env = dict(os.environ)
@@ -87,3 +127,17 @@ class TestCompiledPallas:
 
     def test_decimate_96k_to_48k(self):
         _run_child("decim", 96000.0, 48000.0)
+
+    def test_streaming_engine_pallas_parity(self, tmp_path):
+        """EngineCore streaming output: Pallas step vs XLA step on TPU."""
+        p_on = str(tmp_path / "pallas_on.npy")
+        p_off = str(tmp_path / "pallas_off.npy")
+        _run_stream_child(p_on, use_pallas=True)
+        _run_stream_child(p_off, use_pallas=False)
+        import numpy as np
+
+        a, b = np.load(p_on), np.load(p_off)
+        assert a.shape == b.shape, (a.shape, b.shape)
+        err = np.max(np.abs(a - b)) / max(1e-30, np.max(np.abs(b)))
+        # f32 rounding scale: the measured hardware delta is ~1.5e-7.
+        assert err < 1e-5, f"streaming pallas vs xla rel err {err:.3e}"
