@@ -141,7 +141,7 @@ def main() -> None:
 
     # 6. streaming serving path: fused per-block step, 16 blocks chained
     # on-device (slope between batch sizes cancels launch overhead)
-    if wanted("streaming_44k_48k_fused_step"):
+    def fused_step_slope():
         from go_audio_resampler_tpu.engine.streaming import _step_rational_fused
         import importlib
         osmod = importlib.import_module(
@@ -169,9 +169,27 @@ def main() -> None:
                 (c, acc), _ = jax.lax.scan(body, init, None, length=n_steps)
                 return acc
             return lambda: g(x)
-        results["streaming_44k_48k_fused_step"] = slope_msps(
-            lambda s: make(s), max(128 // scale, 1),
-            max(1024 // scale, 2), blk * n_steps)
+        return slope_msps(lambda s: make(s), max(128 // scale, 1),
+                          max(1024 // scale, 2), blk * n_steps)
+
+    if wanted("streaming_44k_48k_fused_step"):
+        results["streaming_44k_48k_fused_step"] = fused_step_slope()
+
+    # 6b. the same serving step on the opt-in 3-bf16-pass matmul tier
+    # (GAR_TPU_MATMUL_PRECISION=high; THD -117 dB, see doc.md "Numerical
+    # behavior").  Pallas kernels pin HIGHEST, so the tier is measured on
+    # the XLA lowering where it applies.
+    if wanted("streaming_fused_step_fast_tier"):
+        from go_audio_resampler_tpu.engine import streaming as _strm
+        os.environ["GAR_TPU_MATMUL_PRECISION"] = "high"
+        os.environ["GAR_TPU_USE_PALLAS"] = "0"
+        _strm._step_rational_fused.clear_cache()
+        try:
+            results["streaming_fused_step_fast_tier"] = fused_step_slope()
+        finally:
+            del os.environ["GAR_TPU_MATMUL_PRECISION"]
+            del os.environ["GAR_TPU_USE_PALLAS"]
+            _strm._step_rational_fused.clear_cache()
 
     # 7. non-exact-rational general path: gather+einsum polyphase (the
     # fused periodic matmul does not apply; 44.1k->48.001k has no small
