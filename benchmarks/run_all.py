@@ -177,18 +177,16 @@ def main() -> None:
 
     # 6b. the same serving step on the opt-in 3-bf16-pass matmul tier
     # (GAR_TPU_MATMUL_PRECISION=high; THD -117 dB, see doc.md "Numerical
-    # behavior").  Pallas kernels pin HIGHEST, so the tier is measured on
-    # the XLA lowering where it applies.
+    # behavior").  Reduced tiers auto-route to the XLA lowering
+    # (pallas_fused.dispatch_allowed gates the kernels to HIGHEST).
     if wanted("streaming_fused_step_fast_tier"):
         from go_audio_resampler_tpu.engine import streaming as _strm
         os.environ["GAR_TPU_MATMUL_PRECISION"] = "high"
-        os.environ["GAR_TPU_USE_PALLAS"] = "0"
         _strm._step_rational_fused.clear_cache()
         try:
             results["streaming_fused_step_fast_tier"] = fused_step_slope()
         finally:
             del os.environ["GAR_TPU_MATMUL_PRECISION"]
-            del os.environ["GAR_TPU_USE_PALLAS"]
             _strm._step_rational_fused.clear_cache()
 
     # 7. non-exact-rational general path: gather+einsum polyphase (the

@@ -81,16 +81,35 @@ def dot_precision() -> lax.Precision:
         os.environ.get('GAR_TPU_MATMUL_PRECISION', 'highest').lower()]
 
 
-def kernel_dot_precision() -> lax.Precision:
-    """Tier for dots INSIDE Pallas kernels.
+def mxu_dot(a, b):
+    """Precision-tiered f32 matmul usable INSIDE Pallas kernels.
 
     Mosaic's dot lowering accepts only DEFAULT and HIGHEST
-    (pallas/mosaic/lowering.py raises on HIGH), so the 3-pass tier maps
-    to HIGHEST here; a hand-rolled bf16x3 split would be needed to get
-    3-pass semantics on the kernel path.
+    (pallas/mosaic/lowering.py raises on HIGH), so the 3-pass tier is
+    hand-rolled: split each f32 operand into hi+lo bfloat16 limbs and
+    sum the three significant cross products — three native bf16 MXU
+    passes, the same error model as XLA's Precision.HIGH (~2^-17
+    relative; measured THD −117 dB on the serving path, doc.md
+    "Numerical behavior").
+
+    NOTE: production dispatch never reaches this branch — measured on
+    v5e, the 3-pass kernel loses to the 3-pass XLA lowering (19.0 vs
+    26.4 Gs/s interleaved A/B: once the matmul halves, the kernel's
+    framing overhead dominates), so ``dispatch_allowed`` gates the
+    kernels to the HIGHEST tier.  The limb split stays for explicit
+    kernel calls and future shapes/hardware where DMA framing pays at
+    reduced precision.
     """
     p = dot_precision()
-    return lax.Precision.HIGHEST if p == lax.Precision.HIGH else p
+    if p == lax.Precision.HIGH:
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+                + (jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+                   + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)))
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=p)
 
 
 def vmem_bytes(ipx: int, wx: int, p2: int, tf: int,
@@ -144,9 +163,7 @@ def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
     for f in range(tf):
         frames_ref[f * ts:(f + 1) * ts, :] = (
             xv_ref[:, f * ipx:f * ipx + wx_pad])
-    out = jnp.dot(frames_ref[:, :], r_ref[:, :],
-                  preferred_element_type=jnp.float32,
-                  precision=kernel_dot_precision())             # [TF*TS, P2]
+    out = mxu_dot(frames_ref[:, :], r_ref[:, :])         # [TF*TS, P2]
     for f in range(tf):
         y_ref[:, f, :] = out[f * ts:(f + 1) * ts, :]
 
@@ -252,9 +269,7 @@ def _general_kernel(starts_ref, x_hbm, m_ref, y_ref, raw_ref, xv_ref, sem, *,
     copy_in(j, i, lin % 2).wait()
     off = starts_ref[j] - starts_ref[j] // 128 * 128
     xv_ref[:, :] = pltpu.roll(raw_ref[lin % 2], fetch - off, 1)
-    out = jnp.dot(xv_ref[:, :w_pad], m_ref[0],
-                  preferred_element_type=jnp.float32,
-                  precision=kernel_dot_precision())              # [TS, tile]
+    out = mxu_dot(xv_ref[:, :w_pad], m_ref[0])            # [TS, tile]
     y_ref[:, :] = out
 
 
@@ -342,13 +357,23 @@ class force_xla:
 
 
 def dispatch_allowed() -> bool:
-    """Shared gate: Pallas kernels may be considered for lowering."""
+    """Shared gate: Pallas kernels may be considered for lowering.
+
+    The DMA-framing kernels are tuned for the 6-pass exact-f32 matmul;
+    at the 3-pass tier the matmul halves and the kernels' framing
+    overhead (roll + frame copies) dominates — the XLA lowering wins the
+    interleaved hardware A/B decisively there (26.4 vs 19.0 Gs/s on the
+    serving step, v5e), while at HIGHEST the two are within tunnel noise
+    (Pallas +7%..+13% in paired runs).  Reduced-precision tiers
+    therefore auto-route to XLA.
+    """
     import os
 
     import jax
 
     return (_FORCE_XLA_DEPTH == 0
             and os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
+            and dot_precision() == lax.Precision.HIGHEST
             and jax.default_backend() == 'tpu')
 
 

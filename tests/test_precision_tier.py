@@ -65,6 +65,82 @@ class TestTierReachesTrace:
         assert "HIGHEST" not in j_high and "HIGH" in j_high
 
 
+class TestDispatchGate:
+    """Reduced tiers must close the Pallas dispatch gate (the kernels are
+    tuned for the 6-pass matmul; XLA wins the 3-pass A/B, see
+    dispatch_allowed docstring)."""
+
+    def test_gate_closed_on_reduced_tier(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("GAR_TPU_USE_PALLAS", raising=False)
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "highest")
+        assert pf.dispatch_allowed()
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "high")
+        assert not pf.dispatch_allowed()
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "default")
+        assert not pf.dispatch_allowed()
+
+
+class TestMxuDot:
+    """The kernel-side tiered dot (hand-rolled bf16x3 for 'high')."""
+
+    def _operands(self):
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+        return a, b
+
+    def test_highest_is_exact_f32(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "highest")
+        a, b = self._operands()
+        got = np.asarray(pf.mxu_dot(a, b))
+        want = np.asarray(jnp.dot(a, b, precision=lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32))
+        np.testing.assert_array_equal(got, want)
+
+    def test_high_is_bf16x3_accurate(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "high")
+        a, b = self._operands()
+        got = np.asarray(pf.mxu_dot(a, b)).astype(np.float64)
+        exact = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+        rel = np.abs(got - exact).max() / np.abs(exact).max()
+        # hi+lo bf16 limbs carry ~16 mantissa bits; the dropped lo*lo term
+        # and limb rounding bound the error near 2^-16 relative.
+        assert 1e-9 < rel < 3e-5, rel
+
+    def test_kernel_interpret_high_tier(self, monkeypatch):
+        """fused_resample_pallas under the 3-pass tier (interpret mode)."""
+        from go_audio_resampler_tpu.engine import plan_engine
+        from go_audio_resampler_tpu.engine.oneshot import \
+            _fused_rational_matrix
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "high")
+        pf.fused_resample_pallas.clear_cache()
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        R, P2, Ipx, _lam = _fused_rational_matrix(plan)
+        wx = R.shape[1]
+        tf = pf.frame_tile_for(P2)
+        n_tiles = 2
+        n = n_tiles * tf * Ipx + (wx - Ipx)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(pf.STREAM_TILE, n)).astype(np.float32)
+        try:
+            y = np.asarray(pf.fused_resample_pallas(
+                jnp.asarray(x), jnp.asarray(R.T, dtype=jnp.float32),
+                ipx=Ipx, wx=wx, p2=P2, interpret=True))[:4]
+        finally:
+            pf.fused_resample_pallas.clear_cache()
+        xp = np.pad(x[:4], ((0, 0), (0, wx)))
+        frames = np.stack([xp[:, m * Ipx:m * Ipx + wx]
+                           for m in range(n_tiles * tf)], axis=1)
+        ref = np.einsum('sfw,pw->sfp', frames.astype(np.float64),
+                        R).reshape(4, n_tiles * tf * P2)
+        scale = np.abs(ref).max()
+        assert np.abs(y - ref).max() / scale < 3e-4, \
+            np.abs(y - ref).max() / scale
+
+
 class TestCpuNumericsUnchanged:
     """On CPU the precision attr is advisory: tiers must not change output
     (guards against the knob accidentally altering shapes/semantics)."""

@@ -164,6 +164,24 @@ def main() -> int:
     else:
         print("  (skipped off-TPU: the Pallas dispatch gate is closed)")
 
+    # --- opt-in 3-pass matmul tier (GAR_TPU_MATMUL_PRECISION=high) -------
+    # Not a preset floor (no preset ships this tier); the artifact pins
+    # the DOCUMENTED quality of the fast serving tier (doc.md "Numerical
+    # behavior": ~-117 dB THD) so a kernel/limb-split regression that
+    # degrades it below ~19-bit quality fails the round.
+    print("Fast matmul tier (bf16x3) on device output:")
+    _os.environ['GAR_TPU_MATMUL_PRECISION'] = 'high'
+    osm._oneshot_jit.clear_cache()
+    try:
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        y = run(plan, signals.sine(N, 1000.0, 44100))
+        val = metrics.thd(y, 48000, 1000.0, FFT)
+        record("thd_44k_48k_high_fast_tier_db", round(val, 2), val <= -110.0,
+               "floor -110 (documented ~-117; opt-in tier, not a preset)")
+    finally:
+        del _os.environ['GAR_TPU_MATMUL_PRECISION']
+        osm._oneshot_jit.clear_cache()
+
     out = pathlib.Path(args.out)
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"wrote {out} — {len(failures)} failure(s)")
