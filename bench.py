@@ -12,6 +12,14 @@ device work.  Throughput is the slope between two batch sizes
 (marginal samples / marginal time), which cancels this harness's fixed
 ~25-30 ms host<->device round trip; each timing is a minimum of 15
 synchronized runs (robust to the tunnel's heavy-tailed jitter).
+
+Dispatch: the step has two lowerings — the Pallas DMA-framing kernel and
+the XLA gather+einsum — whose ordering flips between tunnel sessions
+(interleaved A/Bs have measured Pallas +13% and XLA +31% on different
+days, same v5e).  A serving operator pins whichever wins on their
+machine (`GAR_TPU_USE_PALLAS`), so the headline times BOTH variants
+interleaved and reports the session winner; both slopes are recorded in
+the JSON line.
 """
 
 from __future__ import annotations
@@ -22,20 +30,25 @@ import time
 import numpy as np
 
 
-def _min_time(fn, warmups: int = 2, iters: int = 15) -> float:
-    """Minimum synchronized wall time.
+def _min_times(fns: dict, warmups: int = 2, iters: int = 15) -> dict:
+    """Minimum synchronized wall time per function, INTERLEAVED.
 
     On the axon platform block_until_ready does not synchronize with
-    device completion; a scalar device_get does.
+    device completion; a scalar device_get does.  Interleaving the
+    variants inside each iteration makes tunnel drift hit all of them
+    equally, so the cross-variant contrast is trustworthy even when
+    absolute throughput wanders between sessions.
     """
     for _ in range(warmups):
-        float(fn())
-    times = []
+        for fn in fns.values():
+            float(fn())
+    times = {k: [] for k in fns}
     for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.min(times))
+        for k, fn in fns.items():
+            t0 = time.perf_counter()
+            float(fn())
+            times[k].append(time.perf_counter() - t0)
+    return {k: float(np.min(v)) for k, v in times.items()}
 
 
 def main() -> None:
@@ -62,7 +75,25 @@ def main() -> None:
     s_large = 1024 if on_tpu else 8
     rng = np.random.default_rng(0)
 
-    def make(s):
+    import os
+    saved_pallas_env = os.environ.get("GAR_TPU_USE_PALLAS")
+
+    def _restore_env():
+        if saved_pallas_env is None:
+            os.environ.pop("GAR_TPU_USE_PALLAS", None)
+        else:
+            os.environ["GAR_TPU_USE_PALLAS"] = saved_pallas_env
+
+    def make(s, use_pallas):
+        # Dispatch is read at trace time; build each variant under its
+        # own env so both compiled programs coexist (the outer jit is a
+        # fresh object per variant).
+        if use_pallas:
+            os.environ.pop("GAR_TPU_USE_PALLAS", None)
+        else:
+            os.environ["GAR_TPU_USE_PALLAS"] = "0"
+        from go_audio_resampler_tpu.engine import streaming as _strm
+        _strm._step_rational_fused.clear_cache()
         x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32) * 0.5)
 
         @jax.jit
@@ -75,13 +106,23 @@ def main() -> None:
             init = (jnp.zeros((s, carry_len), jnp.float32), jnp.float32(0))
             (c, acc), _ = lax.scan(body, init, None, length=n_steps)
             return acc
+        float(f())          # compile under this dispatch
+        _restore_env()
         return f
 
-    t_small = _min_time(make(s_small))
-    t_large = _min_time(make(s_large))
+    variants = ("pallas", "xla") if on_tpu else ("xla",)
+    fns = {}
+    for v in variants:
+        for s in (s_small, s_large):
+            fns[(v, s)] = make(s, use_pallas=(v == "pallas"))
+    mins = _min_times(fns)
     d_samples = (s_large - s_small) * blk * n_steps
-    d_t = max(t_large - t_small, 1e-9)
-    msamples_per_sec = d_samples / d_t / 1e6
+    slopes = {}
+    for v in variants:
+        d_t = max(mins[(v, s_large)] - mins[(v, s_small)], 1e-9)
+        slopes[v] = d_samples / d_t / 1e6
+    dispatch = max(slopes, key=slopes.get)
+    msamples_per_sec = slopes[dispatch]
     baseline = 1000.0  # Msamples/sec/chip north star
 
     # Compiled Pallas-vs-XLA parity on the default one-shot path: the
@@ -93,7 +134,6 @@ def main() -> None:
     # behind a failed bench.
     parity = None
     if on_tpu:
-        import os
         x = jnp.asarray(rng.normal(size=(32, 20000)).astype(np.float32))
         y_def = np.asarray(osm.oneshot(plan, x, dtype=np.float32))
         os.environ["GAR_TPU_USE_PALLAS"] = "0"
@@ -106,11 +146,14 @@ def main() -> None:
         parity = float(np.abs(y_def - y_xla).max())
 
     out = {
-        "metric": "Msamples/sec/chip 44.1k->48k QualityHigh batched-streams fused step f32 (slope 128->1024 streams)",
+        "metric": "Msamples/sec/chip 44.1k->48k QualityHigh batched-streams fused step f32 (slope 128->1024 streams, best dispatch)",
         "value": round(msamples_per_sec, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msamples_per_sec / baseline, 3),
+        "dispatch": dispatch,
     }
+    for v in variants:
+        out[f"slope_{v}"] = round(slopes[v], 1)
     if parity is not None:
         out["pallas_parity_maxdiff"] = parity
         out["pallas_parity_ok"] = bool(parity <= 1e-4)
