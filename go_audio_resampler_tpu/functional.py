@@ -84,7 +84,15 @@ def _linear_op_bwd(plan, dtype_name, n, in_dtype_name, _res, ct):
     # transposed operator; zeros is the cheapest primal.  The batch size
     # comes from the cotangent (the op preserves the stream axis); the
     # sample count n and input dtype are static arguments.
-    _, vjp = jax.vjp(xla_apply, jnp.zeros((ct.shape[0], n), in_dtype))
+    z = jnp.zeros((ct.shape[0], n), in_dtype)
+    # Under shard_map the cotangent carries varying-manual-axes (vma)
+    # type; the primal must carry the same axes or the pullback rejects
+    # the cotangent's type.
+    vma = getattr(jax.typeof(ct), 'vma', None) if hasattr(jax, 'typeof') \
+        else None
+    if vma:
+        z = jax.lax.pvary(z, tuple(vma))
+    _, vjp = jax.vjp(xla_apply, z)
     (xbar,) = vjp(ct.astype(jnp.dtype(dtype_name)))
     return (xbar.astype(in_dtype),)
 

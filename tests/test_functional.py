@@ -111,6 +111,30 @@ class TestComposability:
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-4, atol=2e-6)
 
+    def test_grad_through_shard_map(self):
+        """Gradients through the sharded op: the custom VJP must carry
+        the cotangent's varying-manual-axes type (vma) or shard_map's
+        pullback rejects it."""
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        devs = jax.devices()
+        if len(devs) < 2:
+            pytest.skip("needs a multi-device mesh")
+        mesh = Mesh(np.array(devs[:2]), ("s",))
+        x = jnp.asarray(RNG.normal(size=(4, 800)).astype(np.float32))
+
+        f = shard_map(lambda v: gar.resample(v, 48000, 16000),
+                      mesh=mesh, in_specs=P("s", None),
+                      out_specs=P("s", None))
+        g_sharded = jax.grad(lambda v: jnp.sum(f(v) ** 2))(x)
+        g_serial = jax.grad(
+            lambda v: jnp.sum(gar.resample(v, 48000, 16000) ** 2))(x)
+        assert g_sharded.shape == x.shape
+        np.testing.assert_allclose(np.asarray(g_sharded),
+                                   np.asarray(g_serial),
+                                   rtol=1e-4, atol=3e-5)
+
 
 class TestDifferentiation:
     @pytest.mark.parametrize("inr,outr,q", [
