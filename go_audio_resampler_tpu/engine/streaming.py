@@ -74,7 +74,7 @@ def _step_decim(coeffs, state, x, factor):
     return st, y, n
 
 
-def _fused_banded_step(r_t, carry, x, ipx, wx, p2):
+def _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
     """Shared pure body of the fused banded-matmul streaming steps.
 
     Gathers period-aligned frames from [carry ++ block] and applies the
@@ -90,16 +90,17 @@ def _fused_banded_step(r_t, carry, x, ipx, wx, p2):
     b = x.shape[1]
     n_frames = b // ipx
     data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
-    y = _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames)
+    y = _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames, dispatch)
     return data[:, b:], y, I32(n_frames * p2)
 
 
-def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames):
+def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames,
+                         dispatch: str = 'auto'):
     """Windows at j*ipx of width wx times r_t [wx, p2] -> [S, F*p2]."""
     from ..ops import pallas_fused as pf
 
     s = data.shape[0]
-    if pf.dispatch_allowed() and data.dtype == jnp.float32:
+    if pf.dispatch_for(dispatch) and data.dtype == jnp.float32:
         tf = pf.frame_tile_for(p2)
         ts = (pf.choose_stream_tile(ipx, wx, p2, tf, s)
               if wx - ipx < tf * ipx else 0)
@@ -121,9 +122,9 @@ def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames):
     return y.reshape(s, n_frames * p2)
 
 
-@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'),
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'dispatch'),
          donate_argnames=('carry',))
-def _step_decim_fused(r_t, carry, x, ipx, wx, p2):
+def _step_decim_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
     """Fused streaming decimation: banded frames-matmul per block.
 
     carry holds the last T-1 input samples (zeros-init); every step emits
@@ -132,7 +133,7 @@ def _step_decim_fused(r_t, carry, x, ipx, wx, p2):
     needed.  Replaces the strided convolution, which XLA:TPU lowers poorly
     for long audio kernels.
     """
-    return _fused_banded_step(r_t, carry, x, ipx, wx, p2)
+    return _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch)
 
 
 @partial(jax.jit, static_argnames=('factor', 'num_phases', 'taps', 'step_hi',
@@ -147,9 +148,9 @@ def _step_two_stage(pre_coeffs, banks, state, x, factor, num_phases, taps,
     return (pre_state, poly_state), y, n
 
 
-@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2'),
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'dispatch'),
          donate_argnames=('carry',))
-def _step_rational_fused(r_t, carry, x, ipx, wx, p2):
+def _step_rational_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
     """Fused streaming step for exact-rational two-stage plans.
 
     The whole cascade is one periodic banded operator (see
@@ -161,7 +162,7 @@ def _step_rational_fused(r_t, carry, x, ipx, wx, p2):
     convolution ramp; the wrapper drops them (same mechanism as the
     single-stage DFT topology).
     """
-    return _fused_banded_step(r_t, carry, x, ipx, wx, p2)
+    return _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch)
 
 
 class EngineCore:
@@ -177,6 +178,15 @@ class EngineCore:
       batch:  number of parallel streams S
       block:  internal micro-block size B (input samples per device step)
       dtype:  compute dtype (float32 on TPU; float64 for parity runs on CPU)
+      dispatch: banded-step lowering — 'auto' (default: the process-global
+              gate, Pallas DMA-framing kernel on TPU f32 at the HIGHEST
+              tier), 'pallas' (request the kernel even on reduced
+              precision tiers), or 'xla' (force the gather+einsum
+              lowering).  Per-instance and part of the jit cache key, so
+              engines with different dispatch coexist in one process —
+              the Pallas/XLA ordering flips between machines/sessions
+              (benchmarks/README.md "Dispatch variance"), and a
+              deployment pins the winner measured on its hardware.
     """
 
     #: blocks per fused multi-block launch (lax.scan); amortizes the
@@ -184,10 +194,15 @@ class EngineCore:
     SCAN_BLOCKS = 8
 
     def __init__(self, plan: EnginePlan, batch: int = 1, block: int = 2048,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, dispatch: str = 'auto'):
+        from ..ops.pallas_fused import DISPATCH_MODES
+        if dispatch not in DISPATCH_MODES:
+            raise ValueError(f"dispatch must be one of {DISPATCH_MODES}, "
+                             f"got {dispatch!r}")
         self.plan = plan
         self.batch = batch
         self.block = block
+        self.dispatch = dispatch
         self.dtype = jnp.dtype(dtype)
         self._build_constants()
         self._step = self._make_step()
@@ -391,15 +406,18 @@ class EngineCore:
         if p.kind == 'decimate':
             return lambda state, x: _step_decim_fused(
                 self._decim_rt, state, x, ipx=self._decim_ipx,
-                wx=self._decim_wx, p2=self._decim_p2)
+                wx=self._decim_wx, p2=self._decim_p2,
+                dispatch=self.dispatch)
         if p.kind == 'banded':
             return lambda state, x: _step_rational_fused(
                 self._banded_rt, state, x, ipx=self._banded_ipx,
-                wx=self._banded_wx, p2=self._banded_p2)
+                wx=self._banded_wx, p2=self._banded_p2,
+                dispatch=self.dispatch)
         if self.rational_fused:
             return lambda state, x: _step_rational_fused(
                 self._rational_rt, state, x, ipx=self._rational_ipx,
-                wx=self._rational_wx, p2=self._rational_p2)
+                wx=self._rational_wx, p2=self._rational_p2,
+                dispatch=self.dispatch)
         return lambda state, x: _step_two_stage(
             self.pre_coeffs, self.banks, state, x, factor=p.factor,
             num_phases=p.num_phases, taps=p.poly_taps, step_hi=p.step_hi,

@@ -112,6 +112,28 @@ def mxu_dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=p)
 
 
+DISPATCH_MODES = ('auto', 'pallas', 'xla')
+
+
+def dispatch_for(mode: str) -> bool:
+    """Per-call-site dispatch: may the Pallas kernel be used?
+
+    ``auto`` follows the process-global gate (``dispatch_allowed``);
+    ``xla`` forces the XLA lowering; ``pallas`` requests the kernel even
+    under reduced precision tiers (the kernels then run the hand-rolled
+    bf16x3 ``mxu_dot``) — still subject to ``force_xla`` (the functional
+    VJP depends on it: ``pallas_call`` has no transpose rule) and to the
+    backend/VMEM fit checks at the call site.
+    """
+    if mode == 'xla':
+        return False
+    if mode == 'pallas':
+        import jax
+
+        return _FORCE_XLA_DEPTH == 0 and jax.default_backend() == 'tpu'
+    return dispatch_allowed()
+
+
 def vmem_bytes(ipx: int, wx: int, p2: int, tf: int,
                ts: int = STREAM_TILE) -> int:
     """Scoped-VMEM footprint of one grid step (mirrors the scratch list).

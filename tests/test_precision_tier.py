@@ -81,6 +81,45 @@ class TestDispatchGate:
         assert not pf.dispatch_allowed()
 
 
+class TestPerEngineDispatch:
+    """EngineCore(dispatch=...) — per-instance lowering selection."""
+
+    def test_invalid_mode_raises(self):
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        with pytest.raises(ValueError, match="dispatch"):
+            EngineCore(plan, batch=1, dispatch="mosaic")
+
+    @pytest.mark.parametrize("mode", ["auto", "pallas", "xla"])
+    def test_modes_equal_output(self, mode):
+        """All modes produce the same stream (on CPU every mode lowers to
+        XLA; on TPU the gated parity test covers the kernel diff)."""
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        x = np.random.default_rng(9).normal(
+            size=(2, 4096)).astype(np.float32)
+        eng = EngineCore(plan, batch=2, block=2048, dtype=np.float32,
+                         dispatch=mode)
+        ref = EngineCore(plan, batch=2, block=2048, dtype=np.float32)
+        got = np.concatenate([eng.process(x), eng.flush()], axis=1)
+        want = np.concatenate([ref.process(x), ref.flush()], axis=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_dispatch_for_modes(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("GAR_TPU_USE_PALLAS", raising=False)
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "high")
+        assert not pf.dispatch_for("xla")
+        assert not pf.dispatch_for("auto")     # reduced tier closes auto
+        assert pf.dispatch_for("pallas")       # explicit request stays open
+        with pf.force_xla():
+            assert not pf.dispatch_for("pallas")   # VJP trace overrides
+
+
 class TestMxuDot:
     """The kernel-side tiered dot (hand-rolled bf16x3 for 'high')."""
 
