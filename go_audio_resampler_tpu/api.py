@@ -163,6 +163,11 @@ class Config:
     # unless QualityFlags.ALLOW_ALIASING is set; pass False for strict
     # reference parity, True to force it at any preset.
     strict_antialias: bool | None = None
+    # TPU-native extension: banded-step lowering per resampler —
+    # 'auto' (process-global gate), 'pallas', or 'xla'.  The Pallas/XLA
+    # ordering flips between machines at the exact-f32 tier; deployments
+    # measure once and pin the winner (doc.md "Numerical behavior").
+    dispatch: str = 'auto'
 
     def validate(self) -> None:
         """resample.go:168-191."""
@@ -174,6 +179,9 @@ class Config:
             raise InvalidConfigError("channels must be at least 1")
         if self.channels > MAX_CHANNELS:
             raise InvalidConfigError(f"too many channels (max {MAX_CHANNELS})")
+        if self.dispatch not in ('auto', 'pallas', 'xla'):
+            raise InvalidConfigError(
+                f"dispatch must be auto|pallas|xla, got {self.dispatch!r}")
         ratio = self.output_rate / self.input_rate
         if ratio < MIN_RATIO or ratio > MAX_RATIO:
             raise InvalidConfigError(
@@ -260,7 +268,7 @@ class StubEngine:
 
 
 def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
-                  strict_antialias: bool = False):
+                  strict_antialias: bool = False, dispatch: str = 'auto'):
     """Create the sub-engine realizing a StageSpec (stages.go:21-119).
 
     Half-band stages are polyphase engines with factor 2 (stages.go:31-44);
@@ -271,14 +279,16 @@ def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
     """
     if spec.type == StageType.CUBIC:
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, EngineQuality.QUICK)
-        return EngineCore(plan, batch=channels, block=block, dtype=dtype)
+        return EngineCore(plan, batch=channels, block=block, dtype=dtype,
+                          dispatch=dispatch)
     q = precision_to_engine_quality(spec.quality)
     try:
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, q,
                            strict_antialias)
     except (ValueError, ZeroDivisionError):
         return StubEngine(spec.ratio, channels, dtype)
-    return EngineCore(plan, batch=channels, block=block, dtype=dtype)
+    return EngineCore(plan, batch=channels, block=block, dtype=dtype,
+                      dispatch=dispatch)
 
 
 class Resampler:
@@ -327,7 +337,8 @@ class Resampler:
                       and not (config.quality.flags
                                & QualityFlags.ALLOW_ALIASING))
         self._engines = [
-            _stage_engine(spec, config.channels, block, self.dtype, strict)
+            _stage_engine(spec, config.channels, block, self.dtype,
+                          strict, config.dispatch)
             for spec in self.pipeline.stages]
         if not self._engines:
             # ratio within tolerance of 1.0: identity pipeline
@@ -386,10 +397,10 @@ class Resampler:
                         ratio *= float(e.plan.ratio)
                     latency = sum(e.get_latency() for e in engines[i:j])
                     bplan = BandedPlan(op, ratio, latency=latency)
-                    fused_seg = (EngineCore(bplan,
-                                            batch=self.config.channels,
-                                            block=block, dtype=self.dtype),
-                                 j)
+                    fused_seg = (EngineCore(
+                        bplan, batch=self.config.channels, block=block,
+                        dtype=self.dtype,
+                        dispatch=self.config.dispatch), j)
                     break
             if fused_seg is not None:
                 exec_chain.append(fused_seg[0])
