@@ -105,3 +105,51 @@ def test_ratio_extremes_streaming(inr, outr):
     got = np.concatenate([eng.process(x)[0], eng.flush()[0]])
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+
+# Round-3 surfaces: the functional op and the python-soxr shim must obey
+# the same invariants (they are thin layers over the engine; the fuzz
+# here guards the LAYERS — layout transposes, dtype plumbing, chunk
+# orchestration — against drift).
+
+@pytest.mark.parametrize("seed", range(4))
+def test_functional_op_matches_oneshot(seed):
+    import go_audio_resampler_tpu as gar
+    from go_audio_resampler_tpu.convenience import preset_to_engine_quality
+
+    rng = np.random.default_rng(7000 + seed)
+    inr, outr = rng.choice(RATES, size=2, replace=False)
+    preset = gar.QualityPreset(int(rng.integers(5)))
+    n = int(rng.integers(400, 3000))
+    x = (rng.normal(size=(2, n)) * 0.5).astype(np.float64)
+
+    y = np.asarray(gar.resample(x, float(inr), float(outr), quality=preset))
+    plan = plan_engine(float(inr), float(outr),
+                       preset_to_engine_quality(preset))
+    ref = np.asarray(oneshot(plan, x, dtype=np.float64))
+    assert y.shape == ref.shape, (inr, outr, preset)
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_soxr_compat_stream_invariant(seed):
+    from go_audio_resampler_tpu import soxr_compat as soxr
+
+    rng = np.random.default_rng(8000 + seed)
+    inr, outr = rng.choice(RATES, size=2, replace=False)
+    ch = int(rng.integers(1, 4))
+    n = int(rng.integers(400, 3000))
+    q = ["QQ", "LQ", "MQ", "HQ", "VHQ"][int(rng.integers(5))]
+    shape = (n,) if ch == 1 else (n, ch)
+    x = (rng.normal(size=shape) * 0.5).astype(np.float32)
+
+    ref = soxr.resample(x, float(inr), float(outr), quality=q)
+    st = soxr.ResampleStream(float(inr), float(outr), ch, quality=q)
+    outs, off = [], 0
+    for c in random_chunks(rng, n):
+        outs.append(st.resample_chunk(x[off:off + c]))
+        off += c
+    outs.append(st.resample_chunk(x[:0], last=True))
+    got = np.concatenate(outs, axis=0)
+    assert got.shape == ref.shape, (inr, outr, ch, q)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=4e-6)
