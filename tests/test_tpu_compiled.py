@@ -68,10 +68,11 @@ print(f"OK {{mode}} rel_err={{err:.3e}}")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Full streaming-engine parity: EngineCore.process/flush on the real TPU
-# with the Pallas streaming step enabled vs disabled (GAR_TPU_USE_PALLAS).
-# This covers the product path behind the serving headline
-# (streaming._fused_banded_step -> _banded_frames_apply), not just the
-# one-shot kernels above.
+# with the Pallas streaming step pinned vs the XLA lowering (the public
+# per-engine `dispatch` knob).  This covers the product path behind the
+# serving headline (streaming._fused_banded_step ->
+# _banded_frames_apply), not just the one-shot kernels above — and both
+# engines coexist in ONE process (the dispatch static-arg cache key).
 _STREAM_CHILD = r"""
 import sys
 sys.path.insert(0, {repo!r})
@@ -83,27 +84,28 @@ from go_audio_resampler_tpu.engine.streaming import EngineCore
 from go_audio_resampler_tpu.filterdesign import Quality
 
 plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
-eng = EngineCore(plan, batch=128, block=2048)
 rng = np.random.default_rng(11)
-outs = []
-for _ in range(3):
-    x = rng.normal(size=(128, 4096)).astype(np.float32)
-    outs.append(eng.process(x))
-outs.append(eng.flush())
-y = np.concatenate([o for o in outs if o.size], axis=1)
-np.save({out!r}, y)
-print('OK stream', y.shape)
+blocks = [rng.normal(size=(128, 4096)).astype(np.float32)
+          for _ in range(3)]
+ys = {{}}
+for mode in ('pallas', 'xla'):
+    eng = EngineCore(plan, batch=128, block=2048, dispatch=mode)
+    outs = [eng.process(x) for x in blocks]
+    outs.append(eng.flush())
+    ys[mode] = np.concatenate([o for o in outs if o.size], axis=1)
+np.save({out_p!r}, ys['pallas'])
+np.save({out_x!r}, ys['xla'])
+print('OK stream', ys['pallas'].shape, ys['xla'].shape)
 """
 
 
-def _run_stream_child(out_path: str, use_pallas: bool):
+def _run_stream_child(out_pallas: str, out_xla: str):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    env["GAR_TPU_USE_PALLAS"] = "1" if use_pallas else "0"
-    src = _STREAM_CHILD.format(repo=_REPO, out=out_path)
+    src = _STREAM_CHILD.format(repo=_REPO, out_p=out_pallas, out_x=out_xla)
     res = subprocess.run([sys.executable, "-c", src], env=env,
-                         capture_output=True, text=True, timeout=900)
+                         capture_output=True, text=True, timeout=1500)
     assert res.returncode == 0, res.stdout + res.stderr
     assert "OK stream" in res.stdout, res.stdout
 
@@ -129,11 +131,10 @@ class TestCompiledPallas:
         _run_child("decim", 96000.0, 48000.0)
 
     def test_streaming_engine_pallas_parity(self, tmp_path):
-        """EngineCore streaming output: Pallas step vs XLA step on TPU."""
+        """EngineCore streaming output: dispatch='pallas' vs 'xla' on TPU."""
         p_on = str(tmp_path / "pallas_on.npy")
         p_off = str(tmp_path / "pallas_off.npy")
-        _run_stream_child(p_on, use_pallas=True)
-        _run_stream_child(p_off, use_pallas=False)
+        _run_stream_child(p_on, p_off)
         import numpy as np
 
         a, b = np.load(p_on), np.load(p_off)
