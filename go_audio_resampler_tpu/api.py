@@ -164,9 +164,10 @@ class Config:
     # reference parity, True to force it at any preset.
     strict_antialias: bool | None = None
     # TPU-native extension: banded-step lowering per resampler —
-    # 'auto' (process-global gate), 'pallas', or 'xla'.  The Pallas/XLA
-    # ordering flips between machines at the exact-f32 tier; deployments
-    # measure once and pin the winner (doc.md "Numerical behavior").
+    # 'auto' (process-global gate), 'pallas', 'xla', or 'tune' (compile
+    # both at this engine's shapes and pin the measured winner; one
+    # extra compile).  The Pallas/XLA ordering flips between machines at
+    # the exact-f32 tier (doc.md "Numerical behavior").
     dispatch: str = 'auto'
 
     def validate(self) -> None:
@@ -179,9 +180,10 @@ class Config:
             raise InvalidConfigError("channels must be at least 1")
         if self.channels > MAX_CHANNELS:
             raise InvalidConfigError(f"too many channels (max {MAX_CHANNELS})")
-        if self.dispatch not in ('auto', 'pallas', 'xla'):
+        if self.dispatch not in ('auto', 'pallas', 'xla', 'tune'):
             raise InvalidConfigError(
-                f"dispatch must be auto|pallas|xla, got {self.dispatch!r}")
+                f"dispatch must be auto|pallas|xla|tune, "
+                f"got {self.dispatch!r}")
         ratio = self.output_rate / self.input_rate
         if ratio < MIN_RATIO or ratio > MAX_RATIO:
             raise InvalidConfigError(

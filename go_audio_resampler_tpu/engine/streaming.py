@@ -196,18 +196,59 @@ class EngineCore:
     def __init__(self, plan: EnginePlan, batch: int = 1, block: int = 2048,
                  dtype=jnp.float32, dispatch: str = 'auto'):
         from ..ops.pallas_fused import DISPATCH_MODES
-        if dispatch not in DISPATCH_MODES:
-            raise ValueError(f"dispatch must be one of {DISPATCH_MODES}, "
-                             f"got {dispatch!r}")
+        if dispatch not in DISPATCH_MODES and dispatch != 'tune':
+            raise ValueError(
+                f"dispatch must be one of {DISPATCH_MODES + ('tune',)}, "
+                f"got {dispatch!r}")
         self.plan = plan
         self.batch = batch
         self.block = block
         self.dispatch = dispatch
         self.dtype = jnp.dtype(dtype)
         self._build_constants()
+        if dispatch == 'tune':
+            self.dispatch = self._tune_dispatch()
         self._step = self._make_step()
         self._scan_step = None   # built lazily on first multi-block call
         self.reset()
+
+    def _tune_dispatch(self) -> str:
+        """Pick the faster banded-step lowering by measuring BOTH once.
+
+        The Pallas/XLA ordering flips between machines/sessions at the
+        exact-f32 tier (benchmarks/README.md "Dispatch variance"), so
+        ``dispatch='tune'`` compiles both variants at this engine's real
+        (batch, block) shapes, interleaves a few timed steps, and pins
+        the winner for the instance.  Costs one extra compile; opt-in.
+        Off-TPU (or for topologies without a banded step) it resolves to
+        'auto'.
+        """
+        import time
+
+        if (jax.default_backend() != 'tpu'
+                or self.plan.kind not in ('decimate', 'banded')
+                and not getattr(self, 'rational_fused', False)):
+            return 'auto'
+        saved = self.dispatch
+        times = {}
+        x = jnp.zeros((self.batch, self.block), self.dtype)
+        try:
+            for mode in ('pallas', 'xla'):
+                self.dispatch = mode
+                step = self._make_step()
+                state = self._init_state()
+                state, y, n = step(state, x)      # compile
+                jax.block_until_ready(y)
+                best = float('inf')
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    state, y, n = step(state, x)
+                    float(jnp.sum(y))             # sync (axon quirk)
+                    best = min(best, time.perf_counter() - t0)
+                times[mode] = best
+        finally:
+            self.dispatch = saved
+        return min(times, key=times.get)
 
     # -- construction ------------------------------------------------------
 

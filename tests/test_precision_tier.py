@@ -92,6 +92,23 @@ class TestPerEngineDispatch:
         with pytest.raises(ValueError, match="dispatch"):
             EngineCore(plan, batch=1, dispatch="mosaic")
 
+    def test_tune_resolves_and_streams(self):
+        """dispatch='tune' resolves to a concrete mode (off-TPU: 'auto')
+        and the stream equals the default engine's."""
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=2, block=2048, dtype=np.float32,
+                         dispatch="tune")
+        assert eng.dispatch in ("auto", "pallas", "xla")
+        x = np.random.default_rng(4).normal(
+            size=(2, 4096)).astype(np.float32)
+        ref = EngineCore(plan, batch=2, block=2048, dtype=np.float32)
+        got = np.concatenate([eng.process(x), eng.flush()], axis=1)
+        want = np.concatenate([ref.process(x), ref.flush()], axis=1)
+        np.testing.assert_allclose(got, want, rtol=0, atol=4e-6)
+
     @pytest.mark.parametrize("mode", ["auto", "pallas", "xla"])
     def test_modes_equal_output(self, mode):
         """All modes produce the same stream (on CPU every mode lowers to
