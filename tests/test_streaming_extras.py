@@ -45,6 +45,30 @@ class TestCheckpointResume:
         resumed = np.concatenate([part1, part2, part3])
         np.testing.assert_array_equal(resumed, full)
 
+    def test_resume_portable_across_dispatch_pins(self, tmp_path):
+        """A snapshot is lowering-independent: a stream saved from a
+        dispatch='xla'-pinned engine resumes bit-identically on an
+        'auto' engine (state is samples + counters, never kernel
+        internals)."""
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        x = signals.sine(6000, 997.0, 44100)
+
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        full = np.concatenate([eng.process(x)[0], eng.flush()[0]])
+
+        eng_a = EngineCore(plan, batch=1, block=512, dtype=np.float64,
+                           dispatch="xla")
+        part1 = eng_a.process(x[:3000])[0]
+        ckpt = tmp_path / "stream_xla.npz"
+        save_stream_state(eng_a, ckpt)
+
+        eng_b = EngineCore(plan, batch=1, block=512, dtype=np.float64,
+                           dispatch="auto")
+        load_stream_state(eng_b, ckpt)
+        resumed = np.concatenate(
+            [part1, eng_b.process(x[3000:])[0], eng_b.flush()[0]])
+        np.testing.assert_array_equal(resumed, full)
+
     def test_shape_mismatch_rejected(self, tmp_path):
         plan = plan_engine(44100, 48000, Quality.HIGH)
         eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
