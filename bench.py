@@ -51,6 +51,31 @@ def _min_times(fns: dict, warmups: int = 2, iters: int = 15) -> dict:
     return {k: float(np.min(v)) for k, v in times.items()}
 
 
+def _backend_with_retry(attempts: int = 4, wait_s: float = 90.0) -> str:
+    """Resolve the JAX backend, retrying transient tunnel outages.
+
+    The axon TPU tunnel occasionally refuses initialization
+    (UNAVAILABLE) for minutes at a time; a failed init is cached on the
+    backend registry, so each retry clears it first.
+    """
+    import jax
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:          # backend init failure
+            last = e
+            try:
+                import jax._src.xla_bridge as _xb
+                _xb._clear_backends()
+            except Exception:
+                pass
+            if attempt + 1 < attempts:
+                time.sleep(wait_s)
+    raise last
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -62,7 +87,7 @@ def main() -> None:
 
     osm = importlib.import_module('go_audio_resampler_tpu.engine.oneshot')
 
-    backend = jax.default_backend()
+    backend = _backend_with_retry()
     on_tpu = backend not in ("cpu",)
     plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
     r, p2, ipx, _lam = osm._fused_rational_matrix(plan)
