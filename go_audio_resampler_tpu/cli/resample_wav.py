@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["0", "16", "24", "32", "32f"],
                    help="output encoding: 16/24/32 integer PCM or 32f "
                         "(IEEE float32); default: match input depth as PCM")
+    p.add_argument("-dispatch", default="auto",
+                   choices=["auto", "pallas", "xla", "tune"],
+                   help="banded-step lowering: auto (default), pin "
+                        "pallas/xla, or tune (measure both once and pin "
+                        "the winner; one extra compile)")
     p.add_argument("-v", action="store_true", help="verbose output")
     p.add_argument("-profile", metavar="DIR", default=None,
                    help="write a JAX profiler trace to DIR")
@@ -222,7 +227,8 @@ def run(argv=None) -> int:
     try:
         plan = plan_engine(float(in_rate), float(out_rate),
                            preset_to_engine_quality(preset))
-        engine = EngineCore(plan, batch=channels, block=8192, dtype=dtype)
+        engine = EngineCore(plan, batch=channels, block=8192, dtype=dtype,
+                            dispatch=args.dispatch)
         writer = WavWriter(args.output, int(out_rate), channels, bits)
 
         t0 = time.perf_counter()
