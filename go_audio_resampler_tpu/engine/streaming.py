@@ -412,15 +412,18 @@ class EngineCore:
         if p.kind == 'decimate':
             rt, ipx, wx, p2 = (self._decim_rt, self._decim_ipx,
                                self._decim_wx, self._decim_p2)
-            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2)
+            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2,
+                           dispatch=self.dispatch)
         if p.kind == 'banded':
             rt, ipx, wx, p2 = (self._banded_rt, self._banded_ipx,
                                self._banded_wx, self._banded_p2)
-            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2)
+            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2,
+                           dispatch=self.dispatch)
         if self.rational_fused:
             rt, ipx, wx, p2 = (self._rational_rt, self._rational_ipx,
                                self._rational_wx, self._rational_p2)
-            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2)
+            return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2,
+                           dispatch=self.dispatch)
         coeffs, banks = self.pre_coeffs, self.banks
         f, L, t2 = p.factor, p.num_phases, p.poly_taps
         s_hi, s_lo, cap = p.step_hi, p.step_lo, self.poly_cap
