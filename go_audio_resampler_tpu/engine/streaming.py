@@ -230,25 +230,40 @@ class EngineCore:
                 and not getattr(self, 'rational_fused', False)):
             return 'auto'
         saved = self.dispatch
-        times = {}
         x = jnp.zeros((self.batch, self.block), self.dtype)
+        steps, states = {}, {}
         try:
             for mode in ('pallas', 'xla'):
                 self.dispatch = mode
                 step = self._make_step()
-                state = self._init_state()
-                state, y, n = step(state, x)      # compile
+                st = self._init_state()
+                st, y, n = step(st, x)            # compile under this pin
                 jax.block_until_ready(y)
-                best = float('inf')
-                for _ in range(5):
-                    t0 = time.perf_counter()
-                    state, y, n = step(state, x)
-                    float(jnp.sum(y))             # sync (axon quirk)
-                    best = min(best, time.perf_counter() - t0)
-                times[mode] = best
+                # Re-bind a mode-pinned callable: _make_step lambdas read
+                # self.dispatch at CALL time, but the timing loop below
+                # runs with it restored.
+                steps[mode] = (lambda m: lambda s, v: self._step_pinned(
+                    m, s, v))(mode)
+                states[mode] = st
         finally:
             self.dispatch = saved
+        times = {m: float('inf') for m in steps}
+        for _ in range(5):                        # interleaved: drift hits
+            for m, step in steps.items():         # both modes equally
+                t0 = time.perf_counter()
+                states[m], y, n = step(states[m], x)
+                float(jnp.sum(y))                 # sync (axon quirk)
+                times[m] = min(times[m], time.perf_counter() - t0)
         return min(times, key=times.get)
+
+    def _step_pinned(self, mode: str, state, x):
+        """One banded step with an explicit dispatch pin (tuning helper)."""
+        saved = self.dispatch
+        self.dispatch = mode
+        try:
+            return self._make_step()(state, x)
+        finally:
+            self.dispatch = saved
 
     # -- construction ------------------------------------------------------
 
