@@ -91,7 +91,10 @@ def _linear_op_bwd(plan, dtype_name, n, in_dtype_name, _res, ct):
     vma = getattr(jax.typeof(ct), 'vma', None) if hasattr(jax, 'typeof') \
         else None
     if vma:
-        z = jax.lax.pvary(z, tuple(vma))
+        if hasattr(jax.lax, 'pcast'):
+            z = jax.lax.pcast(z, tuple(vma), to='varying')
+        else:        # older jax spells it pvary
+            z = jax.lax.pvary(z, tuple(vma))
     _, vjp = jax.vjp(xla_apply, z)
     (xbar,) = vjp(ct.astype(jnp.dtype(dtype_name)))
     return (xbar.astype(in_dtype),)
