@@ -95,7 +95,10 @@ def resample(x, in_rate: float, out_rate: float, quality="HQ") -> np.ndarray:
     # batched path), not a Python loop.
     plan = plan_engine(float(in_rate), float(out_rate),
                        preset_to_engine_quality(preset))
-    comp = np.float64 if (not integer and dt == np.float64) else np.float32
+    # int16 fits f32 losslessly; int32 and f64 compute at f64 like
+    # python-soxr's double path (truncated to f32 on TPU backends).
+    comp = np.float32 if dt in (np.dtype(np.float32),
+                                np.dtype(np.int16)) else np.float64
     y = np.asarray(_engine_oneshot(plan, frames.T.copy(), dtype=comp)).T
 
     if integer:
@@ -125,7 +128,9 @@ class ResampleStream:
             raise TypeError(f"unsupported dtype {dtype}")
         self._scale = (float(-np.iinfo(self._dtype).min)
                        if self._dtype.kind == "i" else 1.0)
-        comp = np.float64 if self._dtype == np.float64 else np.float32
+        comp = np.float32 if self._dtype in (np.dtype(np.float32),
+                                             np.dtype(np.int16)) \
+            else np.float64
         self._channels = num_channels
         # All channels ride the stream axis of ONE direct engine (the
         # reference's per-channel goroutines, SURVEY.md section 2); the
