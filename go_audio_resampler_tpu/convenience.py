@@ -94,12 +94,12 @@ class _SimpleBase:
 
     def __init__(self, input_rate: float, output_rate: float,
                  quality: QualityPreset, block: int = 2048, batch: int = 1,
-                 strict_antialias: bool = False):
+                 strict_antialias: bool = False, dispatch: str = 'auto'):
         engine_quality = preset_to_engine_quality(quality)
         self.plan = plan_engine(float(input_rate), float(output_rate),
                                 engine_quality, strict_antialias)
         self.engine = EngineCore(self.plan, batch=batch, block=block,
-                                 dtype=self._dtype)
+                                 dtype=self._dtype, dispatch=dispatch)
         self._out_queue = np.zeros(0, dtype=self._dtype)
 
     def _take(self, fresh: np.ndarray, limit: int | None) -> np.ndarray:
