@@ -126,3 +126,22 @@ class TestResampleStream:
     def test_bad_channels(self):
         with pytest.raises(ValueError):
             soxr.ResampleStream(48000, 44100, 0)
+
+
+class TestIntPrecisionPaths:
+    def test_int32_unity_roundtrip_exact(self):
+        """int32 computes at float64 (python-soxr double-path parity):
+        a unity-ratio pass-through must return >24-bit int32 values
+        exactly (an f32 compute path would round them)."""
+        rng = np.random.default_rng(12)
+        x = rng.integers(-2**31, 2**31 - 1, size=4096, dtype=np.int32)
+        y = soxr.resample(x, 48000, 48000)
+        assert y.dtype == np.int32
+        np.testing.assert_array_equal(y[:len(x)], x)
+
+    def test_int16_unity_roundtrip_exact(self):
+        rng = np.random.default_rng(13)
+        x = rng.integers(-32768, 32767, size=4096, dtype=np.int16)
+        y = soxr.resample(x, 48000, 48000)
+        assert y.dtype == np.int16
+        np.testing.assert_array_equal(y[:len(x)], x)
