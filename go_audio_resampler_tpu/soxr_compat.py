@@ -149,6 +149,8 @@ class ResampleStream:
             if x.ndim != 2 or x.shape[1] != self._channels:
                 raise ValueError(f"expected [n, {self._channels}] chunk, "
                                  f"got shape {x.shape}")
+        elif x.ndim == 2 and x.shape[1] == 1:
+            x = x[:, 0]                     # mono accepts [n, 1] like [n]
         elif x.ndim != 1:
             raise ValueError(f"expected [n] chunk, got shape {x.shape}")
         xf = x.astype(np.float64) / self._scale if self._scale != 1.0 else x
