@@ -83,9 +83,11 @@ def _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
 
     On TPU float32 with a batch wide enough for a stream tile, the
     frames are assembled on-chip by the Pallas DMA-framing kernel
-    instead (same dispatch family as the one-shot paths; paired A/B on
-    the 64-step serving scan measures ~+7%: 20.0 vs 18.7 Gs/s at
-    44.1k->48k HIGH).
+    instead (same dispatch family as the one-shot paths).  The
+    Pallas/XLA ordering is within tunnel noise and flips between
+    sessions (benchmarks/README.md "Dispatch variance"); ``dispatch``
+    pins it per engine, and reduced precision tiers always route to the
+    XLA lowering (pallas_fused.dispatch_allowed).
     """
     b = x.shape[1]
     n_frames = b // ipx
