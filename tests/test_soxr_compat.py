@@ -127,6 +127,17 @@ class TestResampleStream:
         with pytest.raises(ValueError):
             soxr.ResampleStream(48000, 44100, 0)
 
+    def test_mono_stream_accepts_column_chunks(self):
+        x = _sine(4000, 48000)
+        a = soxr.ResampleStream(48000, 44100, 1)
+        b = soxr.ResampleStream(48000, 44100, 1)
+        ya = np.concatenate([a.resample_chunk(x),
+                             a.resample_chunk(x[:0], last=True)])
+        yb = np.concatenate([b.resample_chunk(x[:, None]),
+                             b.resample_chunk(x[:0], last=True)])
+        np.testing.assert_array_equal(ya, yb)
+
+
 
 class TestIntPrecisionPaths:
     def test_int32_unity_roundtrip_exact(self):
@@ -145,13 +156,3 @@ class TestIntPrecisionPaths:
         y = soxr.resample(x, 48000, 48000)
         assert y.dtype == np.int16
         np.testing.assert_array_equal(y[:len(x)], x)
-
-    def test_mono_stream_accepts_column_chunks(self):
-        x = _sine(4000, 48000)
-        a = soxr.ResampleStream(48000, 44100, 1)
-        b = soxr.ResampleStream(48000, 44100, 1)
-        ya = np.concatenate([a.resample_chunk(x),
-                             a.resample_chunk(x[:0], last=True)])
-        yb = np.concatenate([b.resample_chunk(x[:, None]),
-                             b.resample_chunk(x[:0], last=True)])
-        np.testing.assert_array_equal(ya, yb)
