@@ -347,7 +347,8 @@ def _decim_apply_matmul(plan: EnginePlan, xs: jax.Array, count: int,
                      ((0, s_pad - xs.shape[0]),
                       (0, max(0, xlen - xs.shape[1]))))[:, :xlen]
         rt = jnp.asarray(R.T, dtype=jnp.float32)
-        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P, ts=ts)
+        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P, ts=ts,
+                                     min_frames=-(-count // P))
         return y[:xs.shape[0], :count]
 
     R, P, Ipx = _decim_matrix(plan)
@@ -519,7 +520,8 @@ def _poly_apply_rational_fused(plan: EnginePlan, x: jax.Array, count: int,
                      ((0, s_pad - x.shape[0]),
                       (0, max(0, xlen - x.shape[1]))))[:, :xlen]
         rt = jnp.asarray(R.T, dtype=jnp.float32)
-        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P2, ts=ts)
+        y = pf.fused_resample_pallas(xp, rt, ipx=Ipx, wx=wx, p2=P2, ts=ts,
+                                     min_frames=n_frames)
         return y[:x.shape[0], :count]
 
     need = (n_frames - 1) * Ipx + wx

@@ -109,12 +109,21 @@ def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames,
         if ts:
             n_tiles = -(-n_frames // tf)
             xlen = n_tiles * tf * ipx + (wx - ipx)
-            xk = data[:, :xlen] if data.shape[1] >= xlen else data
+            # The kernel recomputes n_tiles = floor(n / (tf*ipx)), so the
+            # input must cover the full tile span: zero-pad short blocks
+            # (the streaming carry+block is generally shorter than xlen
+            # when n_frames is not a multiple of tf) — outputs past
+            # n_frames*p2 are sliced off below.  Without this pad the
+            # kernel either trips its n_tiles >= 1 assert or silently
+            # emits truncated blocks (round-3 advisor finding).
+            xk = (data[:, :xlen] if data.shape[1] >= xlen
+                  else jnp.pad(data, ((0, 0), (0, xlen - data.shape[1]))))
             s_pad = -(-s // ts) * ts
             if s_pad != s:
                 xk = jnp.pad(xk, ((0, s_pad - s), (0, 0)))
             y = pf.fused_resample_pallas(xk, r_t.astype(jnp.float32),
-                                         ipx=ipx, wx=wx, p2=p2, ts=ts)
+                                         ipx=ipx, wx=wx, p2=p2, ts=ts,
+                                         min_frames=n_frames)
             return y[:s, :n_frames * p2]
     starts = lax.iota(jnp.int32, n_frames) * I32(ipx)
     frames = stages.gather_windows(data, starts, wx)

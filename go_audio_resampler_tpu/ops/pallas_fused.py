@@ -191,9 +191,10 @@ def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
 
 
 @functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'ts',
-                                             'interpret'))
+                                             'min_frames', 'interpret'))
 def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
                           p2: int, ts: int = STREAM_TILE,
+                          min_frames: int = 0,
                           interpret: bool = False) -> jax.Array:
     """y[s, m*P2 + r] = sum_w x[s, m*Ipx + w] * r_t[w, r].
 
@@ -203,6 +204,9 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
     choose_stream_tile.
     Computes n_tiles = floor(n / (TF*Ipx)) full frame tiles; the input must
     cover n_tiles*TF*Ipx + (Wx - Ipx) samples (pad with zeros).
+    ``min_frames`` asserts coverage: callers that will consume the first
+    ``min_frames`` frames pass it so a too-short input fails at trace time
+    instead of silently flooring away output (round-3 advisor finding).
     Returns y [S, n_tiles * TF * P2].
     """
     s, n = x.shape
@@ -211,6 +215,10 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
     tile_in = tf * ipx
     n_tiles = n // tile_in
     assert n_tiles >= 1
+    assert n_tiles * tf >= min_frames, (
+        f"input covers {n_tiles * tf} frames < required {min_frames} "
+        f"(n={n}, tile_in={tile_in}); zero-pad x to "
+        f"ceil(min_frames/tf)*tf*ipx + (wx-ipx)")
     wx_pad = _round_up(wx, 128)
     # xv must cover the last frame's padded read ((tf-1)*ipx + wx_pad) plus
     # the sub-128 alignment residual the roll removes.

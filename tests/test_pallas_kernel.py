@@ -98,6 +98,69 @@ class TestFusedKernelInterpret:
         assert pf.choose_stream_tile(294, 1100, 320, 16, 4) == 0
 
 
+class TestStreamingBandedCoverage:
+    """Streaming blocks shorter than the kernel's tile span (advisor r3).
+
+    _banded_frames_apply must zero-pad [carry ++ block] up to the kernel's
+    n_tiles*tf*ipx + (wx-ipx) coverage: the kernel floors its tile count
+    from the input length, so an unpadded short block silently truncates
+    the emitted stream (e.g. 44.1k->48k block 4096: 28 frames need 2
+    tiles of 16, but carry+block covers only 1).  The Pallas branch is
+    unreachable on CPU, so the gates are forced open and the kernel runs
+    in interpret mode.
+    """
+
+    def _force_pallas(self, monkeypatch):
+        import functools
+        monkeypatch.setattr(pf, 'dispatch_for', lambda m: True)
+        monkeypatch.setattr(pf, 'choose_stream_tile', lambda *a, **k: 8)
+        monkeypatch.setattr(
+            pf, 'fused_resample_pallas',
+            functools.partial(pf.fused_resample_pallas.__wrapped__,
+                              interpret=True))
+
+    @pytest.mark.parametrize("rates,n_frames", [
+        ((44100, 48000), 28),   # the advisor's truncation shape (tf=16)
+        ((48000, 44100), 15),   # reverse direction, sub-tile block
+    ])
+    def test_short_block_padded_to_tile_span(self, monkeypatch, rates,
+                                             n_frames):
+        from go_audio_resampler_tpu.engine import streaming as strm
+
+        plan = plan_engine(*rates, Quality.HIGH)
+        R, P2, Ipx, _lam = _fused_rational_matrix(plan)
+        wx = R.shape[1]
+        tf = pf.frame_tile_for(P2)
+        carry = -(-(wx - Ipx) // Ipx) * Ipx
+        data_len = carry + n_frames * Ipx
+        xlen = -(-n_frames // tf) * tf * Ipx + (wx - Ipx)
+        assert data_len < xlen, "precondition: block under the tile span"
+        rng = np.random.default_rng(5)
+        data = jnp.asarray(rng.normal(size=(8, data_len)).astype(np.float32))
+        rt = jnp.asarray(R.T, dtype=jnp.float32)
+        y_xla = np.asarray(strm._banded_frames_apply(
+            data, rt, Ipx, wx, P2, n_frames, 'xla'))
+        self._force_pallas(monkeypatch)
+        y_pl = np.asarray(strm._banded_frames_apply(
+            data, rt, Ipx, wx, P2, n_frames, 'pallas'))
+        assert y_pl.shape == y_xla.shape == (8, n_frames * P2)
+        np.testing.assert_allclose(y_pl, y_xla, atol=1e-4)
+
+    def test_min_frames_coverage_asserts(self):
+        # An input too short for the requested frame count must fail at
+        # trace time, not silently floor the tile count.
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        R, P2, Ipx, _lam = _fused_rational_matrix(plan)
+        wx = R.shape[1]
+        tf = pf.frame_tile_for(P2)
+        x = np.zeros((8, tf * Ipx + (wx - Ipx)), np.float32)  # 1 tile
+        with pytest.raises(AssertionError, match="frames"):
+            pf.fused_resample_pallas(
+                jnp.asarray(x), jnp.asarray(R.T, dtype=jnp.float32),
+                ipx=Ipx, wx=wx, p2=P2, ts=8, min_frames=tf + 1,
+                interpret=True)
+
+
 class TestGeneralKernelInterpret:
     """Scalar-prefetch per-tile banded kernel (general/cubic one-shot)."""
 

@@ -83,27 +83,36 @@ from go_audio_resampler_tpu.engine import plan_engine
 from go_audio_resampler_tpu.engine.streaming import EngineCore
 from go_audio_resampler_tpu.filterdesign import Quality
 
-plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+plan = plan_engine({inr}, {outr}, Quality.HIGH)
 rng = np.random.default_rng(11)
 blocks = [rng.normal(size=(128, 4096)).astype(np.float32)
           for _ in range(3)]
 ys = {{}}
+lens = {{}}
 for mode in ('pallas', 'xla'):
-    eng = EngineCore(plan, batch=128, block=2048, dispatch=mode)
+    eng = EngineCore(plan, batch=128, block={block}, dispatch=mode)
     outs = [eng.process(x) for x in blocks]
     outs.append(eng.flush())
     ys[mode] = np.concatenate([o for o in outs if o.size], axis=1)
+    lens[mode] = eng.samples_out
+# Length check against the canonical count: the round-3 truncation bug
+# dropped whole tile spans silently, so parity alone is not enough.
+want = plan.lengths.canonical(3 * 4096)
+for mode in ('pallas', 'xla'):
+    assert lens[mode] == want, (mode, lens[mode], want)
 np.save({out_p!r}, ys['pallas'])
 np.save({out_x!r}, ys['xla'])
 print('OK stream', ys['pallas'].shape, ys['xla'].shape)
 """
 
 
-def _run_stream_child(out_pallas: str, out_xla: str):
+def _run_stream_child(out_pallas: str, out_xla: str, inr: float, outr: float,
+                      block: int):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    src = _STREAM_CHILD.format(repo=_REPO, out_p=out_pallas, out_x=out_xla)
+    src = _STREAM_CHILD.format(repo=_REPO, out_p=out_pallas, out_x=out_xla,
+                               inr=inr, outr=outr, block=block)
     res = subprocess.run([sys.executable, "-c", src], env=env,
                          capture_output=True, text=True, timeout=1500)
     assert res.returncode == 0, res.stdout + res.stderr
@@ -130,11 +139,22 @@ class TestCompiledPallas:
     def test_decimate_96k_to_48k(self):
         _run_child("decim", 96000.0, 48000.0)
 
-    def test_streaming_engine_pallas_parity(self, tmp_path):
+    # Both directions and two block sizes: the round-3 advisor found the
+    # single committed shape (44.1k->48k, block 2048) coincidentally
+    # landed on data_len == tile_in; 48k->44.1k (tf=128, block far under
+    # the tile span) and block 4096 (28 frames vs tile 16) are exactly
+    # the geometries that crashed or truncated before the pad fix.
+    @pytest.mark.parametrize("inr,outr,block", [
+        (44100.0, 48000.0, 2048),
+        (44100.0, 48000.0, 4096),
+        (48000.0, 44100.0, 2048),
+        (48000.0, 44100.0, 4096),
+    ])
+    def test_streaming_engine_pallas_parity(self, tmp_path, inr, outr, block):
         """EngineCore streaming output: dispatch='pallas' vs 'xla' on TPU."""
         p_on = str(tmp_path / "pallas_on.npy")
         p_off = str(tmp_path / "pallas_off.npy")
-        _run_stream_child(p_on, p_off)
+        _run_stream_child(p_on, p_off, inr, outr, block)
         import numpy as np
 
         a, b = np.load(p_on), np.load(p_off)
