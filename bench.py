@@ -6,62 +6,132 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 
 Methodology (see benchmarks/README.md): the serving-path streaming step —
 the fused periodic matmul that converts 44.1 kHz blocks to 48 kHz
-(engine/streaming._step_rational_fused) — is chained 64 blocks deep
-on-device with lax.scan, so one synchronized launch carries ~64 ms of
-device work.  Throughput is the slope between two batch sizes
-(marginal samples / marginal time), which cancels this harness's fixed
-~25-30 ms host<->device round trip; each timing is a minimum of 15
-synchronized runs (robust to the tunnel's heavy-tailed jitter).
+(engine/streaming._step_rational_fused) — is chained N blocks deep
+on-device with a dynamic-trip-count ``lax.fori_loop``, so ONE compiled
+program yields the slope between two chain depths (marginal samples /
+marginal time).  The depth slope cancels the harness's fixed ~25-30 ms
+host<->device round trip exactly like the old two-batch slope, but needs
+ONE compile per dispatch variant instead of two; each timing is a minimum
+over interleaved synchronized runs (robust to the tunnel's heavy-tailed
+jitter).
+
+Time budget (round-3 lesson: BENCH_r03 timed out with nothing printed):
+the run is hard-capped at ``GAR_BENCH_BUDGET_S`` seconds (default 600).
+The XLA variant — no Pallas compile risk — is compiled and measured
+first and its headline is held as the result-so-far; the Pallas variant
+is attempted only if budget remains, and an interleaved A/B re-measure
+picks the session winner.  SIGTERM/SIGALRM print the best-so-far JSON
+and exit 0, so a driver timeout or a hung compile can no longer produce
+an empty artifact.  Compiled programs are cached on disk
+(``.jax_cache``) so repeat sessions skip the 2-10 min tunnel compiles.
 
 Dispatch: the step has two lowerings — the Pallas DMA-framing kernel and
 the XLA gather+einsum — whose ordering flips between tunnel sessions
 (interleaved A/Bs have measured Pallas +13% and XLA +31% on different
 days, same v5e).  A serving operator pins whichever wins on their
-machine (`GAR_TPU_USE_PALLAS`), so the headline times BOTH variants
-interleaved and reports the session winner; both slopes are recorded in
-the JSON line.
+machine (per-engine ``dispatch=``), so the headline reports the session
+winner; both slopes are recorded in the JSON line when both ran.
+
+Quality parity lives in the hardware artifact (QUALITY_tpu.json / ``make
+quality-tpu``), not here — bench compiles exactly the programs it times.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
 
+BUDGET_S = float(os.environ.get("GAR_BENCH_BUDGET_S", "600"))
+_T0 = time.monotonic()
 
-def _min_times(fns: dict, warmups: int = 2, iters: int = 15) -> dict:
-    """Minimum synchronized wall time per function, INTERLEAVED.
-
-    On the axon platform block_until_ready does not synchronize with
-    device completion; a scalar device_get does.  Interleaving the
-    variants inside each iteration makes tunnel drift hit all of them
-    equally, so the cross-variant contrast is trustworthy even when
-    absolute throughput wanders between sessions.
-    """
-    for _ in range(warmups):
-        for fn in fns.values():
-            float(fn())
-    times = {k: [] for k in fns}
-    for _ in range(iters):
-        for k, fn in fns.items():
-            t0 = time.perf_counter()
-            float(fn())
-            times[k].append(time.perf_counter() - t0)
-    return {k: float(np.min(v)) for k, v in times.items()}
+# Result-so-far: updated in place as phases finish; emitted exactly once.
+_RESULT = {
+    "metric": ("Msamples/sec/chip 44.1k->48k QualityHigh batched-streams "
+               "fused step f32 (depth slope 8->264 blocks, best dispatch)"),
+    "value": 0.0,
+    "unit": "Msamples/s",
+    "vs_baseline": 0.0,
+    "status": "init",
+}
+_EMITTED = False
 
 
-def _backend_with_retry(attempts: int = 4, wait_s: float = 90.0) -> str:
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _emit(final: bool = False) -> None:
+    """Print the best-so-far JSON line exactly once and flush."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    _RESULT["elapsed_s"] = round(_elapsed(), 1)
+    _RESULT["budget_s"] = BUDGET_S
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _bail(why: str):
+    if _RESULT["status"] == "init" or _RESULT["value"] == 0.0:
+        _RESULT["status"] = f"interrupted({why}) before first slope"
+    else:
+        _RESULT["status"] = f"partial({why})"
+    _emit()
+    os._exit(0)
+
+
+def _on_signal(signum, frame):
+    _bail(f"sig{signum}")
+
+
+# Best-effort: catches a driver SIGTERM while the main thread runs Python.
+signal.signal(signal.SIGTERM, _on_signal)
+
+
+def _watchdog():
+    """Hard internal deadline that survives native-blocked main threads.
+
+    Python signal handlers are deferred while the main thread sits inside
+    a PJRT compile/execute call (they run only at bytecode boundaries),
+    so a hung tunnel compile would eat a SIGALRM — round 3's failure
+    mode.  A daemon thread is not blocked by the main thread's native
+    call: it emits the best-so-far JSON at the budget and exits 0,
+    guaranteeing the driver always captures a parsed line as long as the
+    default budget stays under the driver's own timeout."""
+    deadline = _T0 + BUDGET_S
+    while True:
+        now = time.monotonic()
+        if now >= deadline:
+            _bail("budget")
+        time.sleep(min(1.0, deadline - now))
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
+
+def _backend_with_retry() -> str:
     """Resolve the JAX backend, retrying transient tunnel outages.
 
-    The axon TPU tunnel occasionally refuses initialization
-    (UNAVAILABLE) for minutes at a time; a failed init is cached on the
-    backend registry, so each retry clears it first.
+    The axon TPU tunnel occasionally refuses initialization (UNAVAILABLE)
+    for minutes at a time; a failed init is cached on the backend
+    registry, so each retry clears it first.  Total wait is capped by the
+    run budget: retries stop once less than half the budget remains.
     """
     import jax
 
     last = None
-    for attempt in range(attempts):
+    attempt = 0
+    while True:
         try:
             return jax.default_backend()
         except RuntimeError as e:          # backend init failure
@@ -71,119 +141,152 @@ def _backend_with_retry(attempts: int = 4, wait_s: float = 90.0) -> str:
                 _xb._clear_backends()
             except Exception:
                 pass
-            if attempt + 1 < attempts:
-                time.sleep(wait_s)
-    raise last
+            attempt += 1
+            if attempt >= 3 or _remaining() < BUDGET_S * 0.5:
+                raise last
+            time.sleep(min(45.0, max(_remaining() - 30.0, 1.0)))
+
+
+def _min_times(fns: dict, warmups: int = 1, iters: int = 12) -> dict:
+    """Minimum synchronized wall time per function, INTERLEAVED.
+
+    On the axon platform block_until_ready does not synchronize with
+    device completion; a scalar device_get does.  Interleaving the
+    variants inside each iteration makes tunnel drift hit all of them
+    equally, so the cross-variant contrast is trustworthy even when
+    absolute throughput wanders between sessions.  Stops early when the
+    budget runs low (the minimum over fewer iterations is still valid,
+    just noisier).
+    """
+    for _ in range(warmups):
+        for fn in fns.values():
+            float(fn())
+    times = {k: [] for k in fns}
+    for it in range(iters):
+        for k, fn in fns.items():
+            t0 = time.perf_counter()
+            float(fn())
+            times[k].append(time.perf_counter() - t0)
+        if it >= 2 and _remaining() < 20.0:
+            break
+    return {k: float(np.min(v)) for k, v in times.items()}
 
 
 def main() -> None:
+    # Persistent compilation cache: tunnel compiles take 2-10 min; repeat
+    # sessions (or a bench run after the quality tier) hit the disk cache.
+    try:
+        import jax
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     import jax
     import jax.numpy as jnp
     from jax import lax
-    import importlib
     from go_audio_resampler_tpu.engine import plan_engine
+    from go_audio_resampler_tpu.engine.oneshot import _fused_rational_matrix
     from go_audio_resampler_tpu.engine.streaming import _step_rational_fused
     from go_audio_resampler_tpu.filterdesign import Quality
 
-    osm = importlib.import_module('go_audio_resampler_tpu.engine.oneshot')
-
-    backend = _backend_with_retry()
+    try:
+        backend = _backend_with_retry()
+    except RuntimeError as e:
+        _RESULT["status"] = f"backend init failed: {type(e).__name__}"
+        _emit()
+        return
     on_tpu = backend not in ("cpu",)
+    _RESULT["backend"] = backend
+
     plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
-    r, p2, ipx, _lam = osm._fused_rational_matrix(plan)
+    r, p2, ipx, _lam = _fused_rational_matrix(plan)
     rt = jnp.asarray(r.T, dtype=jnp.float32)
     wx = r.shape[1]
     blk = 16 * ipx                       # 2352 input samples per block
     carry_len = -(-max(wx - ipx, 0) // ipx) * ipx
-    n_steps = 64 if on_tpu else 4
-    s_small = 128 if on_tpu else 2
-    s_large = 1024 if on_tpu else 8
+    s = 1024 if on_tpu else 8
+    n_lo, n_hi = (8, 264) if on_tpu else (2, 6)
     rng = np.random.default_rng(0)
-
-    import os
-    saved_pallas_env = os.environ.get("GAR_TPU_USE_PALLAS")
-
-    def _restore_env():
-        if saved_pallas_env is None:
-            os.environ.pop("GAR_TPU_USE_PALLAS", None)
-        else:
-            os.environ["GAR_TPU_USE_PALLAS"] = saved_pallas_env
-
-    def make(s, use_pallas):
-        # Dispatch is read at trace time; build each variant under its
-        # own env so both compiled programs coexist (the outer jit is a
-        # fresh object per variant).
-        if use_pallas:
-            os.environ.pop("GAR_TPU_USE_PALLAS", None)
-        else:
-            os.environ["GAR_TPU_USE_PALLAS"] = "0"
-        from go_audio_resampler_tpu.engine import streaming as _strm
-        _strm._step_rational_fused.clear_cache()
-        x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32) * 0.5)
-
-        @jax.jit
-        def f():
-            def body(carry, _):
-                c, acc = carry
-                c2, y, n = _step_rational_fused(rt, c, x, ipx=ipx, wx=wx,
-                                                p2=p2)
-                return (c2, acc + jnp.sum(y)), None
-            init = (jnp.zeros((s, carry_len), jnp.float32), jnp.float32(0))
-            (c, acc), _ = lax.scan(body, init, None, length=n_steps)
-            return acc
-        float(f())          # compile under this dispatch
-        _restore_env()
-        return f
-
-    variants = ("pallas", "xla") if on_tpu else ("xla",)
-    fns = {}
-    for v in variants:
-        for s in (s_small, s_large):
-            fns[(v, s)] = make(s, use_pallas=(v == "pallas"))
-    mins = _min_times(fns)
-    d_samples = (s_large - s_small) * blk * n_steps
-    slopes = {}
-    for v in variants:
-        d_t = max(mins[(v, s_large)] - mins[(v, s_small)], 1e-9)
-        slopes[v] = d_samples / d_t / 1e6
-    dispatch = max(slopes, key=slopes.get)
-    msamples_per_sec = slopes[dispatch]
+    x_np = rng.normal(size=(s, blk)).astype(np.float32) * 0.5
+    d_samples = (n_hi - n_lo) * s * blk
     baseline = 1000.0  # Msamples/sec/chip north star
 
-    # Compiled Pallas-vs-XLA parity on the default one-shot path: the
-    # default-on Pallas kernel's HARDWARE numerics are re-checked every
-    # round in the driver-captured artifact (the reference runs its
-    # quality regression on the shipped engine,
-    # quality_regression_test.go:26-58; full tier: make quality-tpu).
-    # Non-fatal: a drift is recorded next to the headline, not hidden
-    # behind a failed bench.
-    parity = None
-    if on_tpu:
-        x = jnp.asarray(rng.normal(size=(32, 20000)).astype(np.float32))
-        y_def = np.asarray(osm.oneshot(plan, x, dtype=np.float32))
-        os.environ["GAR_TPU_USE_PALLAS"] = "0"
-        osm._oneshot_jit.clear_cache()
-        try:
-            y_xla = np.asarray(osm.oneshot(plan, x, dtype=np.float32))
-        finally:
-            del os.environ["GAR_TPU_USE_PALLAS"]
-            osm._oneshot_jit.clear_cache()
-        parity = float(np.abs(y_def - y_xla).max())
+    def make(dispatch: str):
+        """One compiled program per dispatch: dynamic-depth block chain.
 
-    out = {
-        "metric": "Msamples/sec/chip 44.1k->48k QualityHigh batched-streams fused step f32 (slope 128->1024 streams, best dispatch)",
-        "value": round(msamples_per_sec, 1),
-        "unit": "Msamples/s",
-        "vs_baseline": round(msamples_per_sec / baseline, 3),
-        "dispatch": dispatch,
-    }
-    for v in variants:
-        out[f"slope_{v}"] = round(slopes[v], 1)
-    if parity is not None:
-        out["pallas_parity_maxdiff"] = parity
-        out["pallas_parity_ok"] = bool(parity <= 1e-4)
-    print(json.dumps(out))
+        ``n`` is a traced trip count (fori_loop -> while_loop), so the
+        depth slope needs only this single compile.  The same input block
+        is re-fed every iteration; the carry still evolves, so no
+        iteration can be folded away, and jnp.sum(y) keeps the whole
+        matmul live.
+        """
+        @jax.jit
+        def f(n, x, rt_):
+            def body(_, val):
+                c, acc = val
+                c2, y, _n = _step_rational_fused(rt_, c, x, ipx=ipx, wx=wx,
+                                                 p2=p2, dispatch=dispatch)
+                return (c2, acc + jnp.sum(y))
+            init = (jnp.zeros((s, carry_len), jnp.float32), jnp.float32(0))
+            _, acc = lax.fori_loop(0, n, body, init)
+            return acc
+
+        x = jnp.asarray(x_np)
+        return {
+            n_lo: lambda: f(n_lo, x, rt),
+            n_hi: lambda: f(n_hi, x, rt),
+        }
+
+    def slope(mins: dict, v: str) -> float:
+        d_t = max(mins[(v, n_hi)] - mins[(v, n_lo)], 1e-9)
+        return d_samples / d_t / 1e6
+
+    # Phase 1: XLA variant (no Pallas compile risk) -> first valid headline.
+    fns = {}
+    xla_fns = make("xla")
+    fns[("xla", n_lo)] = xla_fns[n_lo]
+    fns[("xla", n_hi)] = xla_fns[n_hi]
+    t_c0 = time.monotonic()
+    float(fns[("xla", n_hi)]())           # compile (one program, both depths)
+    compile_s = time.monotonic() - t_c0
+    mins = _min_times(fns)
+    s_xla = slope(mins, "xla")
+    _RESULT.update(value=round(s_xla, 1),
+                   vs_baseline=round(s_xla / baseline, 3),
+                   dispatch="xla", slope_xla=round(s_xla, 1),
+                   status="ok(xla only)")
+
+    # Phase 2: Pallas variant if budget allows, then interleaved A/B.
+    # Reserve one more compile of the observed cost plus measuring slack.
+    if on_tpu and _remaining() > max(2.5 * compile_s, 90.0):
+        try:
+            pl_fns = make("pallas")
+            fns[("pallas", n_lo)] = pl_fns[n_lo]
+            fns[("pallas", n_hi)] = pl_fns[n_hi]
+            float(fns[("pallas", n_hi)]())    # compile
+            mins = _min_times(fns)
+            s_xla = slope(mins, "xla")
+            s_pl = slope(mins, "pallas")
+            best = "pallas" if s_pl >= s_xla else "xla"
+            val = max(s_pl, s_xla)
+            _RESULT.update(value=round(val, 1),
+                           vs_baseline=round(val / baseline, 3),
+                           dispatch=best, slope_xla=round(s_xla, 1),
+                           slope_pallas=round(s_pl, 1), status="ok")
+        except Exception as e:               # Pallas failure: keep XLA number
+            _RESULT["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    _emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        _RESULT["status"] = f"error: {type(e).__name__}: {e}"[:300]
+        _emit()
+        sys.exit(0 if _RESULT.get("value") else 1)
