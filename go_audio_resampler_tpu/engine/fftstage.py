@@ -8,13 +8,19 @@ DFT-upsample stages, exact to their time-domain definitions.
 
 When to use: the banded frames-matmul path reads each input sample
 ``Wx/Ipx`` times (~2.8x for 96k->48k) and spends ``T/M`` MACs per output;
-both grow linearly with the prototype length ``T``.  The overlap-save
-path reads each input ~once and spends ``O(log N)`` per sample
-independent of ``T`` — it wins when prototypes grow past a few thousand
-taps (e.g. experimental ultra-deep decimation chains), while for the
-production filter lengths (<= ~1k taps) the MXU matmul path stays ahead
-on TPU.  ``benchmarks/run_all.py`` carries a paired entry; the planner
-default is unchanged (matmul), matching the measurement.
+both grow linearly with the prototype length ``T``, while the
+overlap-save path reads each input ~once and spends ``O(log N)`` per
+sample independent of ``T``.  Asymptotics notwithstanding, the round-4
+paired v5e measurement (benchmarks decim_long_*) shows the MXU matmul
+ahead of this path across the ENTIRE designable decimation range: ~9x at
+6403 taps and still ~8.5x at the 8191-tap cap (12.1 vs 1.4 Gs/s) —
+linear-in-T MACs on the systolic array beat the FFT's non-matmul ops
+(rfft butterflies, complex arithmetic, gathers) on this hardware.  The
+decimate routing therefore defaults to matmul everywhere reachable
+(oneshot.DECIM_FFT_MIN_TAPS, override via GAR_DECIM_FFT_MIN_TAPS for
+backends where the FFT wins); the 1:1 aa-prefilter conv, whose XLA conv
+lowering is NOT the MXU frames-matmul, keeps its measured ~6k-tap
+crossover (oneshot.FFT_CONV_MIN_TAPS).
 
 Semantics parity (verified by tests/test_fftstage.py against
 ``engine.oneshot``):

@@ -41,6 +41,19 @@ _FRAC = 1 << PHASE_FRAC_BITS
 #: crossing near ~7k taps; 6144 adds margin for the conv's padding waste.
 FFT_CONV_MIN_TAPS = 6144
 
+#: Crossover for routing the DECIMATE topology through overlap-save.
+#: The decimation stage does NOT share FFT_CONV_MIN_TAPS: its matmul
+#: lowering is the MXU frames-matmul (one MAC per tap rides the systolic
+#: array), not the 1:1 conv, and the paired v5e slope A/B
+#: (benchmarks/results.json decim_long_*) measured the matmul ahead by
+#: ~9x at 6403 taps (7.9 vs 0.9 Gs/s, 48k->4k VeryHigh) and ~8.5x at the
+#: 8191-tap design cap (12.1 vs 1.4 Gs/s, 48k->2k High) — so on TPU the
+#: matmul wins across the ENTIRE reachable prototype range and the
+#: default crossover sits beyond it.  The routing machinery stays live
+#: (parity-tested at f64) for backends where the FFT wins; override with
+#: GAR_DECIM_FFT_MIN_TAPS.
+DECIM_FFT_MIN_TAPS = int(os.environ.get('GAR_DECIM_FFT_MIN_TAPS', 16384))
+
 
 def _poly_walk_host(plan: EnginePlan, count: int):
     """Host-side exact walk: (div, phase, frac) for outputs 0..count-1."""
@@ -634,6 +647,13 @@ def _oneshot_jit(plan: EnginePlan, x: jax.Array, dtype_name: str,
         need = (t - 1) + (canonical - 1) * m + t
         pad_right = max(z, need - (t - 1 + n))
         xext = jnp.pad(x, ((0, 0), (t - 1, pad_right)))
+        if t >= DECIM_FFT_MIN_TAPS:
+            # Overlap-save routing for prototypes past the decimate
+            # crossover — unreachable by default on TPU, where the MXU
+            # matmul measured ahead across the whole tap range (see
+            # DECIM_FFT_MIN_TAPS); kept live for other backends.
+            from .fftstage import _fft_decimate
+            return _fft_decimate(plan, xext[:, t - 1:], canonical)
         return _decim_apply_matmul(plan, xext[:, t - 1:], canonical, dtype)
 
     # two_stage

@@ -133,6 +133,25 @@ def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames,
     return y.reshape(s, n_frames * p2)
 
 
+def _fft_decim_step(coeffs_np, factor: int, carry, x):
+    """Streaming decimation via FFT overlap-save (long prototypes).
+
+    Same carry discipline and canonical grid as the banded decim step
+    (window j reads (0^C ++ stream)[j*M : j*M+T] with the zeros realized
+    as the zeros-initialized carry), but the correlation runs through
+    fftstage.fft_correlate — T-independent per-sample cost, which wins
+    past oneshot.DECIM_FFT_MIN_TAPS (see fftstage.py's crossover
+    rationale).  Output counts stay static: (B/M) samples per block.
+    """
+    from .fftstage import fft_correlate
+    b = x.shape[1]
+    n_frames = b // factor
+    data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+    f = fft_correlate(data, coeffs_np, (n_frames - 1) * factor + 1)
+    y = f[:, ::factor][:, :n_frames]
+    return data[:, b:], y, I32(n_frames)
+
+
 @partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'dispatch'),
          donate_argnames=('carry',))
 def _step_decim_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
@@ -342,15 +361,27 @@ class EngineCore:
                 self.poly_keep = p.poly_taps + step_in + 2
                 self.hist_size = self.poly_keep + m + p.lengths.core_delta()
         if p.kind == 'decimate':
-            from .oneshot import _decim_matrix, superframe
-            r, p2, ipx = _decim_matrix(p)
-            r, ipx = superframe(r, ipx, kf_cap=max(1, self.block // ipx))
-            p2 = r.shape[0]
-            self._decim_rt = jnp.asarray(r.T, dtype=self.dtype)
-            self._decim_p2 = p2
-            self._decim_ipx = ipx
-            self._decim_wx = r.shape[1]
-            self.block = _ceil_div(self.block, ipx) * ipx
+            from .oneshot import DECIM_FFT_MIN_TAPS, _decim_matrix, superframe
+            self._decim_fft = p.decim_taps >= DECIM_FFT_MIN_TAPS
+            if self._decim_fft:
+                # Long prototype: banded matmul loses to overlap-save
+                # (fftstage.py crossover); stream through _fft_decim_step.
+                # Grid parameters: one output per factor inputs.
+                self._decim_coeffs_np = np.asarray(p.decim_coeffs,
+                                                   dtype=np.float64)
+                self._decim_ipx = p.factor
+                self._decim_p2 = 1
+                self._decim_wx = p.decim_taps
+                self.block = _ceil_div(self.block, p.factor) * p.factor
+            else:
+                r, p2, ipx = _decim_matrix(p)
+                r, ipx = superframe(r, ipx, kf_cap=max(1, self.block // ipx))
+                p2 = r.shape[0]
+                self._decim_rt = jnp.asarray(r.T, dtype=self.dtype)
+                self._decim_p2 = p2
+                self._decim_ipx = ipx
+                self._decim_wx = r.shape[1]
+                self.block = _ceil_div(self.block, ipx) * ipx
             # Canonical window j reads x[j*M : j*M+T] (no zero samples);
             # a zero carry of C = round_up(T-1, M) shifts the local grid by
             # C/M ramp outputs which the wrapper drops.
@@ -436,6 +467,9 @@ class EngineCore:
                 return st, u, I32(u.shape[1])
             return fn
         if p.kind == 'decimate':
+            if self._decim_fft:
+                return partial(_fft_decim_step, self._decim_coeffs_np,
+                               p.factor)
             rt, ipx, wx, p2 = (self._decim_rt, self._decim_ipx,
                                self._decim_wx, self._decim_p2)
             return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2,
@@ -474,6 +508,10 @@ class EngineCore:
             return lambda state, x: _step_dft_up(
                 self.pre_coeffs, state, x, factor=p.factor)
         if p.kind == 'decimate':
+            if self._decim_fft:
+                return jax.jit(partial(_fft_decim_step,
+                                       self._decim_coeffs_np, p.factor),
+                               donate_argnums=0)
             return lambda state, x: _step_decim_fused(
                 self._decim_rt, state, x, ipx=self._decim_ipx,
                 wx=self._decim_wx, p2=self._decim_p2,
