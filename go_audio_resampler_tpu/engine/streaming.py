@@ -195,6 +195,34 @@ def _step_rational_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
     return _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch)
 
 
+def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
+                timer=None) -> str:
+    """Pick the variant with the smallest marginal (depth-slope) time.
+
+    ``fns[name](n)`` runs a synchronized chain of ``n`` steps; the score
+    per variant is ``min_t(depths[1]) - min_t(depths[0])`` — the marginal
+    cost of ``depths[1]-depths[0]`` steps, with the fixed per-call
+    transport latency cancelled.  All (variant, depth) combinations are
+    interleaved within each iteration so clock/tunnel drift hits every
+    cell equally; minima over iterations resist one-sided jitter.
+    ``timer`` is injectable for tests.
+    """
+    import time as _time
+
+    timer = timer or _time.perf_counter
+    n_lo, n_hi = depths
+    times = {(m, n): [] for m in fns for n in (n_lo, n_hi)}
+    for _ in range(iters):
+        for m, fn in fns.items():
+            for n in (n_lo, n_hi):
+                t0 = timer()
+                fn(n)
+                times[(m, n)].append(timer() - t0)
+    marginal = {m: min(times[(m, n_hi)]) - min(times[(m, n_lo)])
+                for m in fns}
+    return min(marginal, key=marginal.get)
+
+
 class EngineCore:
     """Stateful streaming resampler over a batch of independent streams.
 
@@ -242,58 +270,60 @@ class EngineCore:
         self._scan_step = None   # built lazily on first multi-block call
         self.reset()
 
+    #: chain depths for dispatch='tune' (see _tune_dispatch): the winner
+    #: is the smaller MARGINAL time between these two depths.
+    TUNE_DEPTHS = (4, 36)
+
     def _tune_dispatch(self) -> str:
-        """Pick the faster banded-step lowering by measuring BOTH once.
+        """Pick the faster banded-step lowering by measuring DEVICE time.
 
         The Pallas/XLA ordering flips between machines/sessions at the
         exact-f32 tier (benchmarks/README.md "Dispatch variance"), so
         ``dispatch='tune'`` compiles both variants at this engine's real
-        (batch, block) shapes, interleaves a few timed steps, and pins
-        the winner for the instance.  Costs one extra compile; opt-in.
-        Off-TPU (or for topologies without a banded step) it resolves to
-        'auto'.
-        """
-        import time
+        (batch, block) shapes and pins the winner for the instance.
 
+        A single step is ~µs of device work against a 25-35 ms
+        heavy-tailed host round trip, so single-step timings measure the
+        transport, not the kernel.  Each variant is instead chained in
+        ONE dynamic-trip-count ``fori_loop`` launch (one compile per
+        variant) and the contrast is the slope between two chain depths
+        (TUNE_DEPTHS) — marginal seconds per step — which cancels the
+        fixed round trip exactly like bench.py's methodology.  The pin
+        is meaningful only when that marginal time exceeds the
+        environment's timing jitter; at very small (batch, block) both
+        lowerings are launch-bound and the choice is noise either way.
+        Costs one extra compile; opt-in.  Off-TPU (or for topologies
+        without a banded step) it resolves to 'auto'.
+        """
         if (jax.default_backend() != 'tpu'
                 or self.plan.kind not in ('decimate', 'banded')
                 and not getattr(self, 'rational_fused', False)):
             return 'auto'
+        if self.plan.kind == 'decimate' and self._decim_fft:
+            return 'auto'   # overlap-save step: no Pallas/XLA contrast
         saved = self.dispatch
         x = jnp.zeros((self.batch, self.block), self.dtype)
-        steps, states = {}, {}
+        fns = {}
         try:
             for mode in ('pallas', 'xla'):
                 self.dispatch = mode
-                step = self._make_step()
-                st = self._init_state()
-                st, y, n = step(st, x)            # compile under this pin
-                jax.block_until_ready(y)
-                # Re-bind a mode-pinned callable: _make_step lambdas read
-                # self.dispatch at CALL time, but the timing loop below
-                # runs with it restored.
-                steps[mode] = (lambda m: lambda s, v: self._step_pinned(
-                    m, s, v))(mode)
-                states[mode] = st
-        finally:
-            self.dispatch = saved
-        times = {m: float('inf') for m in steps}
-        for _ in range(5):                        # interleaved: drift hits
-            for m, step in steps.items():         # both modes equally
-                t0 = time.perf_counter()
-                states[m], y, n = step(states[m], x)
-                float(jnp.sum(y))                 # sync (axon quirk)
-                times[m] = min(times[m], time.perf_counter() - t0)
-        return min(times, key=times.get)
+                core = self.core_fn()            # captures this pin
+                st0 = self._init_state()
 
-    def _step_pinned(self, mode: str, state, x):
-        """One banded step with an explicit dispatch pin (tuning helper)."""
-        saved = self.dispatch
-        self.dispatch = mode
-        try:
-            return self._make_step()(state, x)
+                @jax.jit
+                def chain(n, xx, core=core, st0=st0):
+                    def body(_, val):
+                        st, acc = val
+                        st2, y, _n = core(st, xx)
+                        return (st2, acc + jnp.sum(y))
+                    _, acc = lax.fori_loop(
+                        0, n, body, (st0, jnp.zeros((), xx.dtype)))
+                    return acc
+                fns[mode] = (lambda f: lambda n: float(f(n, x)))(chain)
+                fns[mode](self.TUNE_DEPTHS[1])   # compile (dynamic depth)
         finally:
             self.dispatch = saved
+        return _slope_pick(fns, self.TUNE_DEPTHS)
 
     # -- construction ------------------------------------------------------
 

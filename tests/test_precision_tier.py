@@ -222,3 +222,58 @@ class TestCpuNumericsUnchanged:
             osm._oneshot_jit.clear_cache()
         assert y_hi.shape == y_3p.shape
         np.testing.assert_array_equal(y_hi, y_3p)
+
+
+class TestTuneMethodology:
+    """dispatch='tune' must measure DEVICE time: multi-step chained
+    launches with a depth-slope contrast, not single-step round trips
+    (round-3 VERDICT: one step is ~us of device work against a 25-35 ms
+    heavy-tailed transport, so single-step minima measure the tunnel)."""
+
+    def test_slope_pick_cancels_fixed_cost(self):
+        """A variant with a huge fixed per-call cost but a small marginal
+        (per-step) cost must win: the slope cancels the fixed part.  A
+        single-step min-of-k would pick the other variant."""
+        from go_audio_resampler_tpu.engine.streaming import _slope_pick
+
+        clock = [0.0]
+
+        def timer():
+            return clock[0]
+
+        def mk(fixed, per_step):
+            def f(n):
+                clock[0] += fixed + per_step * n
+            return f
+
+        fns = {"low_slope": mk(100.0, 0.001),   # slow call, fast kernel
+               "low_fixed": mk(0.1, 1.0)}       # fast call, slow kernel
+        assert _slope_pick(fns, (4, 36), timer=timer) == "low_slope"
+
+    def test_slope_pick_uses_multi_step_launches(self):
+        """Every variant is invoked at BOTH chain depths (> 1 step)."""
+        from go_audio_resampler_tpu.engine.streaming import _slope_pick
+
+        calls = {"a": [], "b": []}
+        fns = {k: (lambda k: lambda n: calls[k].append(n))(k)
+               for k in calls}
+        _slope_pick(fns, (4, 36), iters=2)
+        for k, seen in calls.items():
+            assert set(seen) == {4, 36}, (k, seen)
+            assert min(seen) > 1, "tune must chain steps, not time one"
+
+    def test_tune_flow_runs_on_forced_backend(self, monkeypatch):
+        """End-to-end tune flow (compile both variants as dynamic-depth
+        chains, slope-pick) exercised on CPU by forcing the backend
+        string; batch < 8 keeps the Pallas kernel out of reach so both
+        'variants' lower to XLA and the flow is safe off-TPU."""
+        import jax as _jax
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float32,
+                         dispatch="tune")
+        assert eng.dispatch in ("pallas", "xla"), \
+            "tune on 'tpu' must pin a measured winner, not 'auto'"
