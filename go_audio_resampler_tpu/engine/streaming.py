@@ -735,6 +735,188 @@ class EngineCore:
             return np.concatenate(outs, axis=1)
         return np.zeros((self.batch, 0), dtype=self.dtype)
 
+    # -- device-resident streaming (serving / ML-ingest path) ---------------
+
+    @property
+    def device_chunk_multiple(self) -> int | None:
+        """Input-chunk granularity for :meth:`process_device`.
+
+        The fused input period for the banded topologies, 1 for the DFT
+        upsample; ``None`` when the topology has data-dependent output
+        counts (cubic, non-exact polyphase walk) and only :meth:`process`
+        is available.
+        """
+        p = self.plan
+        if p.kind == 'dft_up':
+            return 1
+        if p.kind == 'decimate':
+            return self._decim_ipx
+        if p.kind == 'banded':
+            return self._banded_ipx
+        if p.kind == 'two_stage' and self.rational_fused:
+            return self._rational_ipx
+        return None
+
+    def _device_params(self) -> tuple[int, int]:
+        """(input period, outputs per period) for the static-count step."""
+        p = self.plan
+        if p.kind == 'dft_up':
+            return 1, p.factor
+        if p.kind == 'decimate':
+            return self._decim_ipx, self._decim_p2
+        if p.kind == 'banded':
+            return self._banded_ipx, self._banded_p2
+        return self._rational_ipx, self._rational_p2
+
+    def _head_x_device(self) -> jax.Array:
+        """The collected banded-head input prefix as a device array."""
+        hx = self._head_x
+        if isinstance(hx, jax.Array):
+            return hx.astype(self.dtype)
+        return jnp.asarray(np.asarray(hx, dtype=self.dtype))
+
+    def _emit_device(self, core_out: jax.Array, n_out: int,
+                     limit: int | None) -> jax.Array:
+        """Device-mode twin of :meth:`_emit` (keep the two in sync).
+
+        All slice bounds are host-known (static counts), so nothing here
+        synchronizes with the device.  The banded head rows are applied
+        in the engine dtype on device; the host path computes them in
+        float64 — on float32 engines the first n_head samples may differ
+        across modes at the f32 rounding level.
+        """
+        drop = (self._drop_override if self._drop_override is not None
+                else self.plan.lengths.drop_prefix())
+        start = 0
+        if self._core_emitted < drop:
+            start = min(drop - self._core_emitted, n_out)
+        self._core_emitted += n_out
+        out = core_out[:, start:n_out]
+        if limit is not None:
+            room = limit - self.samples_out
+            out = out[:, :max(room, 0)]
+        if (self._head_x is not None and out.shape[1]
+                and self.samples_out < self._banded_head.shape[0]):
+            head = self._banded_head
+            k0 = self.samples_out
+            k1 = min(head.shape[0], k0 + out.shape[1])
+            need = head.shape[1] - self._banded_lam
+            hx = self._head_x_device()[:, :need]
+            xe = jnp.zeros((self.batch, head.shape[1]), self.dtype)
+            xe = xe.at[:, self._banded_lam:
+                       self._banded_lam + hx.shape[1]].set(hx)
+            hm = jnp.asarray(np.asarray(head[k0:k1].T, dtype=self.dtype))
+            corr = jnp.matmul(xe, hm, precision=lax.Precision.HIGHEST)
+            out = jnp.concatenate([corr.astype(self.dtype),
+                                   out[:, k1 - k0:]], axis=1)
+        self.samples_out += out.shape[1]
+        return out
+
+    def process_device(self, x) -> jax.Array:
+        """Resample a chunk entirely on device; returns a ``jax.Array``.
+
+        The serving-path alternative to :meth:`process`: the input is (or
+        is uploaded to) a device array, the whole chunk runs as ONE
+        device launch, and the output stays device-resident with NO host
+        synchronization — output counts are static for the supported
+        topologies, so every slice bound is host-known and the caller
+        chains further device work (ML ingest) or downloads at its own
+        cadence.  This is the mode the committed
+        ``streaming_device_e2e_*`` benchmark rows measure; the
+        host-download ``streaming_e2e_*`` rows pay a per-block device->
+        host bounce instead (benchmarks/README.md).
+
+        Supported topologies (static output counts): fused exact-rational
+        two-stage, decimate, banded composite, DFT upsample.  The chunk
+        width must be a multiple of :attr:`device_chunk_multiple`; widths
+        may vary call to call (each distinct width compiles once).  May
+        be mixed with :meth:`process` whenever no host-side input is
+        buffered there (feed block multiples, or reset()).
+        """
+        mult = self.device_chunk_multiple
+        if mult is None:
+            raise NotImplementedError(
+                f"process_device: topology {self.plan.kind!r} has "
+                "data-dependent output counts; use process()")
+        if self._flushed:
+            raise RuntimeError("process() after flush(); call reset() first")
+        if self._pending.available():
+            raise RuntimeError(
+                "process_device: host-buffered input pending from a prior "
+                "process() call; feed block multiples there, or reset()")
+        x = jnp.asarray(x, dtype=self.dtype)
+        if x.ndim == 1:
+            x = (jnp.broadcast_to(x, (self.batch, x.shape[0]))
+                 if self.batch > 1 else x[None, :])
+        if x.shape[0] != self.batch:
+            raise ValueError(f"expected {self.batch} streams, got {x.shape[0]}")
+        n = int(x.shape[1])
+        if n % mult:
+            raise ValueError(
+                f"process_device chunk width {n} is not a multiple of "
+                f"device_chunk_multiple={mult}")
+        if n == 0:
+            return jnp.zeros((self.batch, 0), self.dtype)
+        self.samples_in += n
+        if self._head_x is not None:
+            need = self._banded_head.shape[1] - self._banded_lam
+            if self._head_x.shape[1] < need:
+                take = min(need - self._head_x.shape[1], n)
+                self._head_x = jnp.concatenate(
+                    [self._head_x_device(), x[:, :take]], axis=1)
+        self.state, y, _n = self._step(self.state, x)
+        ipx, p2 = self._device_params()
+        return self._emit_device(y, (n // ipx) * p2, None)
+
+    def flush_device(self) -> jax.Array:
+        """Drain all stage tails on device; returns a ``jax.Array``.
+
+        Device-mode counterpart of :meth:`flush` for the
+        :meth:`process_device`-supported topologies: static output counts
+        keep the drain loop host-decidable, so the flush never
+        synchronizes with the device either.
+        """
+        mult = self.device_chunk_multiple
+        if mult is None:
+            raise NotImplementedError(
+                f"flush_device: topology {self.plan.kind!r} has "
+                "data-dependent output counts; use flush()")
+        if self._flushed:
+            return jnp.zeros((self.batch, 0), self.dtype)
+        self._flushed = True
+        lm = self.plan.lengths
+        canonical_total = lm.canonical(self.samples_in)
+        z = lm.flush_pad(self.samples_in) if self.samples_in > 0 else 0
+        rem = self._pending.available()
+        total_tail = rem + z
+        ipx, p2 = self._device_params()
+        outs = []
+        if total_tail:
+            n1 = _ceil_div(total_tail, mult) * mult
+            tail = np.zeros((self.batch, n1), dtype=self.dtype)
+            if rem:
+                tail[:, :rem] = self._pending.read_all()
+            self.state, y, _n = self._step(self.state, jnp.asarray(tail))
+            outs.append(self._emit_device(y, (n1 // ipx) * p2,
+                                          canonical_total))
+        guard, limit = 0, self._flush_extra_limit()
+        zeros_blk = None
+        while self.samples_out < canonical_total:
+            if zeros_blk is None:
+                zeros_blk = jnp.zeros((self.batch, self.block), self.dtype)
+            self.state, y, _n = self._step(self.state, zeros_blk)
+            outs.append(self._emit_device(y, (self.block // ipx) * p2,
+                                          canonical_total))
+            guard += 1
+            if guard > limit:
+                raise AssertionError(
+                    "internal: flush under-produced "
+                    f"({self.samples_out} < {canonical_total}) after "
+                    f"{guard} extra blocks (limit {limit})")
+        if outs:
+            return jnp.concatenate(outs, axis=1)
+        return jnp.zeros((self.batch, 0), self.dtype)
+
     def _flush_extra_limit(self) -> int:
         """Max extra zero blocks flush may legally need (exact holdback).
 

@@ -1,0 +1,171 @@
+"""Device-resident streaming (process_device / flush_device).
+
+The serving-path mode: input, output and all intermediate state stay
+device arrays; output counts are static for the supported topologies so
+the wrapper never synchronizes with the device.  The emitted stream must
+equal the host-mode stream (same step functions, same length model); the
+only permitted difference is the banded head region, which the device
+mode computes in the engine dtype on device (float64 here, so it still
+matches to rounding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import go_audio_resampler_tpu as gar
+from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+from go_audio_resampler_tpu.filterdesign import Quality
+from go_audio_resampler_tpu.utils import signals
+
+RNG = np.random.default_rng(7)
+
+
+def _plan_cases():
+    return [
+        ("rational", plan_engine(44100.0, 48000.0, Quality.HIGH)),
+        ("decimate", plan_engine(48000.0, 24000.0, Quality.HIGH)),
+        ("dft_up", plan_engine(48000.0, 96000.0, Quality.HIGH)),
+        ("strict_aa_rational",
+         plan_engine(48000.0, 44100.0, Quality.HIGH, True)),
+    ]
+
+
+def _banded_plan():
+    """Composite with an aperiodic head (downstream stage has lam > 0).
+
+    Heads arise when a downstream stage's left zero-context reaches into
+    upstream startup — a strict-antialias rational stage composed after a
+    decimator is the canonical producer (compose(), pipeline/fused.py).
+    """
+    from go_audio_resampler_tpu.pipeline.fused import BandedPlan, fuse_chain
+    plans = [plan_engine(48000.0, 24000.0, Quality.HIGH),
+             plan_engine(24000.0, 22050.0, Quality.HIGH, True)]
+    op = fuse_chain(plans)
+    assert op is not None and op.n_head > 0
+    return BandedPlan(op, ratio=22050.0 / 48000.0)
+
+
+def _host_stream(plan, x, batch, block):
+    eng = EngineCore(plan, batch=batch, block=block, dtype=jnp.float64)
+    return np.concatenate([eng.process(x), eng.flush()], axis=1)
+
+
+def _device_stream(plan, x, batch, block, n_chunks=3):
+    eng = EngineCore(plan, batch=batch, block=block, dtype=jnp.float64)
+    mult = eng.device_chunk_multiple
+    assert mult is not None and mult >= 1
+    n = x.shape[1] - (x.shape[1] % mult)
+    # Uneven multiples-of-mult chunking; the sub-period remainder goes
+    # through the host FIFO path at the end (mixing is allowed when no
+    # host bytes are pending, i.e. before any host process call).
+    per = max((n // mult) // n_chunks, 1) * mult
+    outs, i = [], 0
+    while i < n:
+        c = min(per, n - i)
+        y = eng.process_device(jnp.asarray(x[:, i:i + c]))
+        assert isinstance(y, jax.Array)
+        outs.append(np.asarray(y))
+        i += c
+    if x.shape[1] > n:          # remainder via host mode, then device flush
+        outs.append(eng.process(x[:, n:]))
+    y = eng.flush_device()
+    assert isinstance(y, jax.Array)
+    outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=1)
+
+
+class TestDeviceModeParity:
+
+    @pytest.mark.parametrize("name,plan", _plan_cases())
+    def test_matches_host_mode(self, name, plan):
+        x = RNG.standard_normal((2, 9000))
+        a = _host_stream(plan, x, batch=2, block=512)
+        b = _device_stream(plan, x, batch=2, block=512)
+        assert a.shape == b.shape
+        # Not bit-identical: XLA tiles the banded dot differently at
+        # different launch widths, so summation order shifts by an ulp.
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+
+    def test_banded_composite_matches_host(self):
+        plan = _banded_plan()
+        x = RNG.standard_normal((2, 12000))
+        a = _host_stream(plan, x, batch=2, block=512)
+        b = _device_stream(plan, x, batch=2, block=512)
+        assert a.shape == b.shape
+        # Head region: host computes the exact rows with numpy float64,
+        # device mode with the XLA float64 matmul — same math, rounding
+        # may differ in the last ulp.
+        n_head = plan.op.n_head
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+        assert n_head > 0, "case should exercise the head correction"
+
+    def test_chunk_width_invariance(self):
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        x = RNG.standard_normal((1, 8000))
+        a = _device_stream(plan, x, batch=1, block=512, n_chunks=1)
+        b = _device_stream(plan, x, batch=1, block=512, n_chunks=5)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+
+    def test_one_launch_whole_minute_shape(self):
+        # A single big chunk is one launch; canonical count still exact.
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=jnp.float64)
+        mult = eng.device_chunk_multiple
+        n = (44100 // mult) * mult
+        x = signals.sine(n, 997.0, 44100.0)[None, :]
+        y = np.concatenate([np.asarray(eng.process_device(jnp.asarray(x))),
+                            np.asarray(eng.flush_device())], axis=1)
+        assert y.shape[1] == plan.lengths.canonical(n)
+
+
+class TestDeviceModeContracts:
+
+    def test_unsupported_topology_raises(self):
+        plan = plan_engine(44100.0, 48000.0, Quality.QUICK)    # cubic
+        eng = EngineCore(plan, batch=1, block=512, dtype=jnp.float64)
+        assert eng.device_chunk_multiple is None
+        with pytest.raises(NotImplementedError):
+            eng.process_device(jnp.zeros((1, 256)))
+        with pytest.raises(NotImplementedError):
+            eng.flush_device()
+
+    def test_non_multiple_chunk_raises(self):
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=jnp.float64)
+        mult = eng.device_chunk_multiple
+        assert mult > 1
+        with pytest.raises(ValueError, match="multiple"):
+            eng.process_device(jnp.zeros((1, mult + 1)))
+
+    def test_pending_host_bytes_raise(self):
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=jnp.float64)
+        eng.process(np.zeros((1, 100)))          # sub-block: stays pending
+        mult = eng.device_chunk_multiple
+        with pytest.raises(RuntimeError, match="pending"):
+            eng.process_device(jnp.zeros((1, mult)))
+
+    def test_process_device_after_flush_raises(self):
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=jnp.float64)
+        eng.flush()
+        with pytest.raises(RuntimeError, match="flush"):
+            eng.process_device(jnp.zeros((1, eng.device_chunk_multiple)))
+
+    def test_no_host_sync_in_process_device(self, monkeypatch):
+        """The device path must not force a device->host transfer."""
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=jnp.float64)
+        mult = eng.device_chunk_multiple
+        x = jnp.asarray(RNG.standard_normal((1, 8 * mult)))
+
+        def boom(*a, **k):                        # any __array__ = a sync
+            raise AssertionError("device->host transfer inside "
+                                 "process_device")
+        monkeypatch.setattr(jax.Array, "__array__", boom, raising=False)
+        y = eng.process_device(x)
+        assert isinstance(y, jax.Array)
