@@ -5,13 +5,15 @@ from .plan import EnginePlan, EngineConfigError, plan_engine, MIN_RATIO, MAX_RAT
 from .counts import LengthModel
 from .oneshot import oneshot
 from .streaming import EngineCore
-from .checkpoint import save_stream_state, load_stream_state
+from .checkpoint import (save_stream_state, load_stream_state,
+                         save_resampler_state, load_resampler_state)
 from .variable import VariableRateResampler
 from .fftstage import fft_oneshot
 
 __all__ = [
     "EnginePlan", "EngineConfigError", "plan_engine", "MIN_RATIO",
     "MAX_RATIO", "LengthModel", "oneshot", "EngineCore",
-    "save_stream_state", "load_stream_state", "VariableRateResampler",
+    "save_stream_state", "load_stream_state", "save_resampler_state",
+    "load_resampler_state", "VariableRateResampler",
     "fft_oneshot",
 ]
