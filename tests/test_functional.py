@@ -194,3 +194,38 @@ class TestDifferentiation:
         assert g.shape == x.shape
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestProgramSize:
+    """The functional op must stay compact at ANY audio length inside a
+    USER's jit: the one-shot tile matrices scale with length and would be
+    baked into the user's program as constants (tens of MB per minute ->
+    remote-compile payload failures); the scan lowering's constants are
+    the coefficient banks only."""
+
+    @pytest.mark.parametrize("inr,outr,q", [
+        (44100.0, 48001.0, gar.QualityPreset.HIGH),   # non-exact rational
+        (44100.0, 48000.0, gar.QualityPreset.QUICK),  # cubic
+    ])
+    def test_minute_of_audio_traces_small(self, inr, outr, q):
+        n = 60 * 44100
+        x = jax.ShapeDtypeStruct((1, n), jnp.float32)
+        f = jax.jit(lambda v: gar.resample(v, inr, outr, quality=q))
+        txt = f.lower(x).as_text()
+        # Coefficient banks + program text; the old lowering exceeded
+        # this by two orders of magnitude (per-length tile matrices).
+        assert len(txt) < 3_000_000, f"{len(txt)} bytes of HLO"
+
+    def test_adjoint_still_exact_on_scan_path(self):
+        inr, outr, q = 44100.0, 48001.0, gar.QualityPreset.HIGH
+        n = 5000
+        m = functional.output_length(n, inr, outr, q)
+        x = jnp.asarray(RNG.normal(size=(2, n)))
+        y = jnp.asarray(RNG.normal(size=(2, m)))
+        f = lambda v: gar.resample(v, inr, outr, quality=q,
+                                   dtype=jnp.float64)
+        rx, vjp = jax.vjp(f, x)
+        (xbar,) = vjp(y)
+        lhs = float(jnp.vdot(rx, y))
+        rhs = float(jnp.vdot(x, xbar))
+        assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs)), (lhs, rhs)
