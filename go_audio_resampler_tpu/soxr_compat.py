@@ -26,6 +26,8 @@ complete flushed signal for its one-shot ``resample``).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .api import QualityPreset
@@ -73,6 +75,33 @@ def _check_dtype(x: np.ndarray) -> np.dtype:
     return dt
 
 
+def _compute_dtype(dt: np.dtype) -> type:
+    """Engine compute dtype for an input dtype: f32 for f32/int16
+    (int16 fits f32 losslessly), f64 for f64/int32 like python-soxr's
+    double path — PROVIDED the process runs with ``jax_enable_x64``.
+
+    JAX computes float64 only when x64 is enabled (it is OFF by default
+    on every backend); without it a requested f64 array silently
+    truncates to f32 inside the engine, so rather than let that happen
+    quietly the shim warns and degrades explicitly (int32 round-trips
+    then lose low bits).  Enable the double path with
+    ``jax.config.update('jax_enable_x64', True)`` before resampling.
+    """
+    if dt in (np.dtype(np.float32), np.dtype(np.int16)):
+        return np.float32
+    import jax
+    if not jax.config.jax_enable_x64:
+        warnings.warn(
+            f"{dt} input selects the float64 compute path, but "
+            "jax_enable_x64 is off so JAX would silently compute at "
+            "float32 — degrading explicitly (int32 round-trips lose low "
+            "bits, float64 outputs carry f32 precision).  Enable with "
+            "jax.config.update('jax_enable_x64', True).",
+            stacklevel=3)
+        return np.float32
+    return np.float64
+
+
 def resample(x, in_rate: float, out_rate: float, quality="HQ") -> np.ndarray:
     """One-shot resample, python-soxr signature.
 
@@ -95,10 +124,7 @@ def resample(x, in_rate: float, out_rate: float, quality="HQ") -> np.ndarray:
     # batched path), not a Python loop.
     plan = plan_engine(float(in_rate), float(out_rate),
                        preset_to_engine_quality(preset))
-    # int16 fits f32 losslessly; int32 and f64 compute at f64 like
-    # python-soxr's double path (truncated to f32 on TPU backends).
-    comp = np.float32 if dt in (np.dtype(np.float32),
-                                np.dtype(np.int16)) else np.float64
+    comp = _compute_dtype(dt)
     y = np.asarray(_engine_oneshot(plan, frames.T.copy(), dtype=comp)).T
 
     if integer:
@@ -128,9 +154,10 @@ class ResampleStream:
             raise TypeError(f"unsupported dtype {dtype}")
         self._scale = (float(-np.iinfo(self._dtype).min)
                        if self._dtype.kind == "i" else 1.0)
-        comp = np.float32 if self._dtype in (np.dtype(np.float32),
-                                             np.dtype(np.int16)) \
-            else np.float64
+        if self._dtype.kind == "i" and self._dtype not in (
+                np.dtype(np.int16), np.dtype(np.int32)):
+            raise TypeError(f"unsupported dtype {dtype}")
+        comp = _compute_dtype(self._dtype)
         self._channels = num_channels
         # All channels ride the stream axis of ONE direct engine (the
         # reference's per-channel goroutines, SURVEY.md section 2); the

@@ -156,3 +156,32 @@ class TestIntPrecisionPaths:
         y = soxr.resample(x, 48000, 48000)
         assert y.dtype == np.int16
         np.testing.assert_array_equal(y[:len(x)], x)
+
+    def test_x64_off_warns_and_degrades_explicitly(self):
+        """With jax_enable_x64 off (the default in ANY stock process —
+        the suite's conftest enables it globally, which is why the
+        exactness tests above pass), the f64 compute path cannot exist:
+        the shim must WARN and degrade to f32 rather than silently
+        compute f32 while claiming the python-soxr double path."""
+        import jax
+        import warnings as _w
+
+        assert jax.config.jax_enable_x64          # conftest invariant
+        x = np.random.default_rng(14).integers(
+            -2**31, 2**31 - 1, size=1024, dtype=np.int32)
+        jax.config.update("jax_enable_x64", False)
+        try:
+            with pytest.warns(UserWarning, match="jax_enable_x64 is off"):
+                y = soxr.resample(x, 48000, 48000)
+            assert y.dtype == np.int32            # API contract holds
+            # f32 path: 16 high bits survive the unity round trip.
+            np.testing.assert_allclose(
+                y[:len(x)].astype(np.float64), x.astype(np.float64),
+                atol=2.0**8)
+            with pytest.warns(UserWarning, match="jax_enable_x64 is off"):
+                soxr.ResampleStream(48000, 44100, 1, dtype="int32")
+            with _w.catch_warnings():
+                _w.simplefilter("error")          # f32 paths stay silent
+                soxr.resample(x.astype(np.float32), 48000, 44100)
+        finally:
+            jax.config.update("jax_enable_x64", True)
