@@ -101,6 +101,56 @@ class TestCompose:
             assert got.shape == seq.shape, (got.shape, seq.shape)
             np.testing.assert_allclose(got, seq, rtol=1e-11, atol=1e-13)
 
+    @pytest.mark.parametrize("chain", [
+        # Downstream strict-antialias stage: B.lam > 0 produces an
+        # aperiodic head whose reach must be CEILED to whole B-periods
+        # (a floored reach leaves the last partial period on the
+        # periodic rows, which read real samples where the truncated
+        # upstream stream is zero).
+        [(48000, 24000, Quality.HIGH, False),
+         (24000, 22050, Quality.HIGH, True)],
+        # Upstream P > 1 (DFT upsample) into B.lam > 0: the left-context
+        # taps hit j < 0 with A.P > 1, where FLOORED division is load-
+        # bearing (truncated division misplaces the odd negative taps by
+        # A.I and corrupts every later frame, not just the head).
+        [(24000, 48000, Quality.HIGH, False),
+         (48000, 44100, Quality.HIGH, True)],
+        # Head-on-head: a composite that already has head rows feeding
+        # another lam > 0 stage (exercises the A.head branch of the
+        # head assembly).
+        [(48000, 24000, Quality.HIGH, False),
+         (24000, 22050, Quality.HIGH, True),
+         (22050, 16000, Quality.HIGH, True)],
+        # MEDIUM's shorter filters land B.lam < B.I, so a FLOORED head
+        # reach computes zero head periods and drops the head entirely;
+        # and MEDIUM's fatter filter tails make the boundary deviation
+        # coefficient-level (~1e-3 here) instead of tail-x-tail noise —
+        # this chain is what pins the ceil in compose()'s n_head.
+        [(48000, 24000, Quality.MEDIUM, False),
+         (24000, 22050, Quality.MEDIUM, True)],
+    ])
+    def test_matches_sequential_with_head(self, chain):
+        plans = [plan_engine(float(a), float(b), q, aa)
+                 for a, b, q, aa in chain]
+        ops = [banded_from_plan(p) for p in plans]
+        comp = ops[0]
+        for op in ops[1:]:
+            comp = compose(comp, op)
+        assert comp.n_head > 0, "chain must produce an aperiodic head"
+        for n in (64, 400, 1111, 4096):
+            x = RNG.standard_normal((1, n))
+            seq = x
+            for p in plans:
+                seq = np.asarray(oneshot(p, seq, dtype=np.float64))
+            got = comp.apply(x)
+            assert got.shape == seq.shape, (got.shape, seq.shape)
+            # atol 1e-9, not 1e-13: short inputs leave the head outputs
+            # deep in the filters' pre-ring (values ~1e-12 by coefficient
+            # cancellation), where different summation orders legitimately
+            # differ at absolute float64-noise level.  A geometry bug is
+            # a coefficient-level (~1) error — 9 orders above this.
+            np.testing.assert_allclose(got, seq, rtol=1e-9, atol=1e-9)
+
     def test_count_folding(self):
         plans = [plan_engine(48000.0, 24000.0, Quality.HIGH),
                  plan_engine(24000.0, 16000.0, Quality.HIGH)]

@@ -10,7 +10,8 @@ This is the framework analog of the reference's test-depth guarantee
 same assurance is spot-checked by mutating the length model
 (engine/counts.py) and the streaming phase walk (engine/stages.py).
 
-Usage:  python tools/mutation_check.py          (from the repo root)
+Usage:  python tools/mutation_check.py [filter]   (from the repo root;
+        the optional filter substring selects by file path or note)
 """
 
 from __future__ import annotations
@@ -106,6 +107,33 @@ MUTATIONS = [
         ["tests/test_metrics.py"],
         "banded conv matrix: tap row off by one",
     ),
+    # --- fusion tier (VERDICT r3 #7: the compose/head algebra in
+    # pipeline/fused.py had no mutation coverage; the chain-parity tests
+    # must catch a silent off-by-one in the composite frame geometry) ---
+    (
+        "go_audio_resampler_tpu/pipeline/fused.py",
+        "    lam_c = max(0, -pos_min)",
+        "    lam_c = max(0, -pos_min - 1)",
+        ["tests/test_pipeline_fused.py"],
+        "compose: composite left context (lam_c) short by one",
+    ),
+    (
+        "go_audio_resampler_tpu/pipeline/fused.py",
+        "        n_head = B.P * _ceil_div(A.n_head + B.lam, B.I)",
+        "        n_head = B.P * ((A.n_head + B.lam) // B.I)",
+        ["tests/test_pipeline_fused.py"],
+        "compose: aperiodic head reach floored instead of ceiled "
+        "(last partial head period falls back to the periodic rows)",
+    ),
+    (
+        "go_audio_resampler_tpu/pipeline/fused.py",
+        "            mA, rA = divmod(j, A.P)      # floored for j < 0",
+        "            mA = math.trunc(j / A.P)     # floored for j < 0\n"
+        "            rA = j - mA * A.P",
+        ["tests/test_pipeline_fused.py"],
+        "compose: truncated instead of floored division for the "
+        "left-context taps (j < 0 of a lam > 0 downstream stage)",
+    ),
 ]
 
 
@@ -130,8 +158,11 @@ def run(mut) -> bool:
 
 
 def main() -> int:
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     ok = True
     for mut in MUTATIONS:
+        if only and only not in mut[0] and only not in mut[4]:
+            continue
         ok &= run(mut)
     print("mutation check:", "all caught" if ok else "SURVIVORS — add tests")
     return 0 if ok else 1
