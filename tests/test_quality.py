@@ -64,15 +64,19 @@ class TestTHDRegression:
         assert val <= MAX_THD[q], f"THD {val:.2f} dB above floor {MAX_THD[q]}"
 
     def test_thd_vs_soxr_golden(self):
-        # soxr capture: thd_44100_48000_1000 = -162.223 dB.  The float64
-        # path lands on the same value (the Go reference reaches -162.19,
-        # README.md:308); pin parity within 1 dB.
+        # soxr capture: thd_44100_48000_1000 = -162.223 dB; the Go
+        # reference reaches -162.19 (README.md:308) and the f64 path
+        # here measures -162.189 at this FFT_SIZE — +0.034 dB from the
+        # golden, inside the BASELINE.md north-star band ("within
+        # 0.1 dB"), which is pinned as the assertion.  (At FFT_SIZE
+        # 32768 the same output measures -178.6 dB: the figure is
+        # window-noise-floor-bound, not filter-bound.)
         x = signals.sine(NUM_SAMPLES, 1000.0, 44100)
         y = resample(x, 44100, 48000, Quality.VERY_HIGH)
         val = metrics.thd(y, 48000, 1000.0, FFT_SIZE)
         golden = GOLDEN["quality"]["thd_44100_48000_1000"]["thd_db"]
-        assert val <= golden + 1.0, \
-            f"VHQ THD {val:.2f} dB vs soxr {golden:.2f}"
+        assert val <= golden + 0.1, \
+            f"VHQ THD {val:.2f} dB vs soxr {golden:.2f} (+0.1 dB band)"
 
 
 class TestSNRRegression:
