@@ -357,6 +357,43 @@ def main() -> None:
             results[f"streaming_e2e_44k_48k_b{blk}"] = slope_msps(
                 make_e2e, max(32 // scale, 1), max(256 // scale, 2), n)
 
+    # 8e. DEVICE-RESIDENT end-to-end streaming: the same host-driven loop
+    # as 8c, but through EngineCore.process_device — input chunks are
+    # device arrays, outputs stay device arrays, and the wrapper never
+    # syncs (static output counts).  Marginal cost per chunk is the async
+    # dispatch plus the device step, so this e2e number approaches the
+    # device step's throughput even through the tunnel; the remaining gap
+    # vs streaming_44k_48k_fused_step is host dispatch, not data bounce.
+    if wanted("streaming_device_e2e_44k_48k"):
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        s_d = max(512 // scale, 1)
+        eng_d = EngineCore(plan, batch=s_d, block=2048, dtype=np.float32)
+        mult = eng_d.device_chunk_multiple
+        chunk = (44100 // mult) * mult       # ~1 s of audio per call
+
+        def make_dev(k_chunks):
+            xs = [jax.device_put(
+                rng.normal(size=(s_d, chunk)).astype(np.float32))
+                for _ in range(k_chunks)]
+
+            def f():
+                y = None
+                for x in xs:          # one launch per chunk, no sync
+                    y = eng_d.process_device(x)
+                return float(jnp.sum(y[:, :1]))   # orders all launches
+            return f
+        t2 = min_time(make_dev(2))
+        t8 = min_time(make_dev(8))
+        dt = t8 - t2
+        print(f"    [t(2)={t2*1e3:.1f}ms t(8)={t8*1e3:.1f}ms]", flush=True)
+        if dt < 0.002:
+            results["streaming_device_e2e_44k_48k"] = \
+                8 * s_d * chunk / t8 / 1e6
+        else:
+            results["streaming_device_e2e_44k_48k"] = \
+                6 * s_d * chunk / dt / 1e6
+
     # 9. FFT overlap-save vs banded-matmul decimation (paired): the FFT
     # lowering's throughput is length-independent; the matmul path wins
     # at production prototype lengths (see engine/fftstage.py docstring).
@@ -372,6 +409,37 @@ def main() -> None:
             return lambda: g(x)
         results["fft_decim_96k_48k"] = slope_msps(
             make_fft, max(64 // scale, 1), max(512 // scale, 2), 96000)
+
+    # 9b. LONG-prototype decimation, FFT vs matmul paired A/B at 48k->4k
+    # VeryHigh (6403 taps) — the measurement behind DECIM_FFT_MIN_TAPS'
+    # default: the MXU matmul won across the entire designable tap range
+    # on v5e, so decimate routing defaults to matmul and the crossover
+    # sits beyond the design cap (engine/oneshot.py).  Each leg pins the
+    # crossover so both lowerings are measured regardless of the default.
+    if wanted("decim_long"):
+        import importlib
+        osm = importlib.import_module('go_audio_resampler_tpu.engine.oneshot')
+        plan_l = plan_engine(48000.0, 4000.0, Quality.VERY_HIGH)
+        n = 48000
+
+        def run_decim_long(thresh):
+            saved = osm.DECIM_FFT_MIN_TAPS
+            osm.DECIM_FFT_MIN_TAPS = thresh
+            osm._oneshot_jit.clear_cache()
+            try:
+                def make(s):
+                    x = jnp.asarray(
+                        rng.normal(size=(s, n)).astype(np.float32) * 0.5)
+                    g = jax.jit(lambda xx: jnp.sum(
+                        osm._oneshot_jit(plan_l, xx, 'float32')))
+                    return lambda: g(x)
+                return slope_msps(make, max(64 // scale, 1),
+                                  max(512 // scale, 2), n)
+            finally:
+                osm.DECIM_FFT_MIN_TAPS = saved
+                osm._oneshot_jit.clear_cache()
+        results["decim_long_fft_48k_4k_vhq"] = run_decim_long(0)
+        results["decim_long_matmul_48k_4k_vhq"] = run_decim_long(1 << 30)
 
     # 10. variable-rate serving: device-side throughput of the VR scan
     # (walk arrays precomputed, inputs device-resident, slope between two
