@@ -144,9 +144,10 @@ class EnginePlan:
         return self.kind == 'two_stage' and self.step_lo == 0
 
     def estimate_output(self, n_in: int) -> int:
-        """Upper bound on output samples: ceil(n*ratio) + 64.
+        """Upper bound on output samples: floor(n*ratio) + 64.
 
-        Reference parity: constant.go:117-119 / convenience.go:164-166.
+        Reference parity: constant.go:117-119 / convenience.go:164-166
+        (the reference also floors; the +64 slack covers the rounding).
         """
         return int(n_in * self.ratio) + 64
 
