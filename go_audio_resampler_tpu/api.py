@@ -492,6 +492,82 @@ class Resampler:
         self.samples_out += out.shape[1]
         return [out[i] for i in range(out.shape[0])]
 
+    # -- device-resident path (serving / ML-ingest) -------------------------
+
+    @property
+    def device_chunk_multiple(self) -> int | None:
+        """Input-chunk granularity for :meth:`process_multi_device`.
+
+        ``None`` when the device path is unavailable for this pipeline
+        (the exec chain did not fuse into one static-output-count
+        engine); then only the host-returning methods apply.
+        """
+        if len(self._exec) != 1 or not isinstance(self._exec[0], EngineCore):
+            return None
+        return self._exec[0].device_chunk_multiple
+
+    def _device_engine(self) -> EngineCore:
+        mult = self.device_chunk_multiple
+        if mult is None:
+            raise NotImplementedError(
+                "device mode needs the pipeline fused into ONE static-"
+                "output-count engine; this chain has "
+                f"{len(self._exec)} execution segment(s) "
+                f"(kinds: {[getattr(e.plan, 'kind', '?') for e in self._exec]}). "
+                "Use process_multi(), or a config whose stages fuse "
+                "(GAR_TPU_FUSE_PIPELINE=1 is the default).")
+        return self._exec[0]
+
+    def process_multi_device(self, frames) -> "jax.Array":
+        """Resample all channels entirely on device; returns ``jax.Array``.
+
+        The serving-path twin of :meth:`process_multi`
+        (engine/streaming.EngineCore.process_device): ``frames`` is (or is
+        uploaded to) a ``[channels, n]`` device array, the whole chunk
+        runs as one device launch, and the ``[channels, n_out]`` output
+        stays device-resident with no host synchronization — the caller
+        chains further device work (ML ingest) or downloads at its own
+        cadence.  Requires the fully fused pipeline (the default for the
+        standard ratios) and ``n`` a multiple of
+        :attr:`device_chunk_multiple`.  May be mixed with the host
+        methods only while no host output is queued.
+        """
+        import jax.numpy as jnp
+
+        self._check_not_flushed()
+        self._enter('multi')
+        eng = self._device_engine()
+        if self._out_queue.shape[1]:
+            raise ResamplerError(
+                "host-queued output pending from a prior process call; "
+                "drain it via process_multi first, or reset()")
+        frames = jnp.asarray(frames, dtype=self.dtype)
+        if frames.ndim != 2 or frames.shape[0] != self.config.channels:
+            raise InvalidConfigError(
+                f"expected [channels={self.config.channels}, n] frames, "
+                f"got shape {frames.shape}")
+        y = eng.process_device(frames)
+        self.samples_in += int(frames.shape[1])
+        self.samples_out += int(y.shape[1])   # static count — no sync
+        return y
+
+    def flush_multi_device(self) -> "jax.Array":
+        """Drain all tails on device; device-mode twin of
+        :meth:`flush_multi` (one ``[channels, n_tail]`` array)."""
+        import jax.numpy as jnp
+
+        eng = self._device_engine()
+        if self._out_queue.shape[1]:
+            raise ResamplerError(
+                "host-queued output pending from a prior process call; "
+                "drain it via process_multi first, or reset()")
+        if self._flushed:
+            return jnp.zeros((self.config.channels, 0), self.dtype)
+        self._flushed = True
+        y = eng.flush_device()
+        self.samples_out += int(y.shape[1])
+        return y
+
     # -- into variants (constant.go:103-199) --------------------------------
 
     def estimate_output(self, n_in: int) -> int:

@@ -169,3 +169,83 @@ class TestDeviceModeContracts:
         monkeypatch.setattr(jax.Array, "__array__", boom, raising=False)
         y = eng.process_device(x)
         assert isinstance(y, jax.Array)
+
+class TestPublicResamplerDeviceMode:
+    """api.Resampler.process_multi_device / flush_multi_device — the
+    device-resident serving mode on the public pipeline path (the chain
+    must have fused into one static-output-count engine, the default)."""
+
+    def _mk(self, inr=44100.0, outr=48000.0, ch=2):
+        return gar.new_resampler(gar.Config(
+            inr, outr, channels=ch,
+            quality=gar.get_preset_spec(gar.QualityPreset.HIGH)))
+
+    def test_parity_with_process_multi(self):
+        ra, rb = self._mk(), self._mk()
+        mult = rb.device_chunk_multiple
+        assert mult is not None and mult >= 1
+        n = 6 * mult
+        x = RNG.standard_normal((2, n)) * 0.5
+        host = np.stack(ra.process_multi(list(x)))
+        host = np.concatenate([host, np.stack(ra.flush_multi())], axis=1)
+        y1 = rb.process_multi_device(jnp.asarray(x))
+        y2 = rb.flush_multi_device()
+        assert isinstance(y1, jax.Array) and isinstance(y2, jax.Array)
+        dev = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, rtol=1e-12, atol=1e-13)
+        assert rb.samples_out == host.shape[1]
+        assert rb.get_statistics() == ra.get_statistics()
+
+    def test_downsampling_pipeline_parity(self):
+        # 48k->22.05k builds a multi-stage chain that fuses into one
+        # banded composite; the device path must match the host chain.
+        ra = self._mk(48000.0, 22050.0)
+        rb = self._mk(48000.0, 22050.0)
+        mult = rb.device_chunk_multiple
+        assert mult is not None
+        n = 4 * mult
+        x = RNG.standard_normal((2, n)) * 0.5
+        host = np.stack(ra.process_multi(list(x)))
+        host = np.concatenate([host, np.stack(ra.flush_multi())], axis=1)
+        dev = np.concatenate([np.asarray(rb.process_multi_device(x)),
+                              np.asarray(rb.flush_multi_device())], axis=1)
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, rtol=1e-12, atol=1e-13)
+
+    def test_unfusable_chain_raises(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_FUSE_PIPELINE", "0")
+        r = self._mk(48000.0, 22050.0)
+        assert r.device_chunk_multiple is None
+        with pytest.raises(NotImplementedError, match="segment"):
+            r.process_multi_device(jnp.zeros((2, 1024)))
+        with pytest.raises(NotImplementedError):
+            r.flush_multi_device()
+
+    def test_queued_host_output_raises(self):
+        # Queued host output (the limit-capped process_into holdback)
+        # must block the device path: the device stream would bypass the
+        # queue and reorder the output.  Seed the queue directly — the
+        # guard is on the wrapper state, not on how it got there.
+        r = self._mk()
+        mult = r.device_chunk_multiple
+        r._out_queue = np.zeros((2, 5), dtype=r.dtype)
+        with pytest.raises(gar.ResamplerError, match="queued"):
+            r.process_multi_device(jnp.zeros((2, mult)))
+        with pytest.raises(gar.ResamplerError, match="queued"):
+            r.flush_multi_device()
+
+    def test_bad_shape_raises(self):
+        r = self._mk()
+        mult = r.device_chunk_multiple
+        with pytest.raises(gar.InvalidConfigError, match="channels"):
+            r.process_multi_device(jnp.zeros((3, mult)))
+
+    def test_flush_device_idempotent_and_guards(self):
+        r = self._mk()
+        mult = r.device_chunk_multiple
+        r.process_multi_device(jnp.zeros((2, 2 * mult)))
+        y = r.flush_multi_device()
+        assert np.asarray(r.flush_multi_device()).shape[1] == 0
+        with pytest.raises(gar.ResamplerError, match="flush"):
+            r.process_multi_device(jnp.zeros((2, mult)))
