@@ -9,7 +9,7 @@ an explicit pytree, so checkpointing a live stream is a pure serialization
 of arrays: a stream can be snapshotted mid-flight, the process restarted,
 and processing resumed with bit-identical continuation.
 
-Two granularities:
+Three granularities:
 
 - :func:`save_stream_state` / :func:`load_stream_state` — one
   :class:`EngineCore` (the direct-engine path).  The payload covers the
@@ -22,6 +22,10 @@ Two granularities:
   segment's engine state plus the wrapper's own output queue, counters,
   entry mode and flushed flag (the analog of the reference's per-channel
   stage chains + ring buffers, constant.go:42-85).
+- :func:`save_vr_state` / :func:`load_vr_state` — the variable-rate
+  resampler: host hold, device carries, and the closed-form ratio
+  trajectory (a ``soxr_set_io_ratio`` slew survives the snapshot
+  mid-slew).
 """
 
 from __future__ import annotations
@@ -242,3 +246,65 @@ def load_resampler_state(resampler, path) -> None:
         resampler._entry_mode = mode or None
         resampler._out_queue = np.asarray(data["out_queue"],
                                           dtype=resampler.dtype)
+
+# -- VariableRateResampler ----------------------------------------------------
+
+_MAGIC_V = "gar_tpu_vr_state_v1"
+
+
+def save_vr_state(vr, path) -> None:
+    """Snapshot a live :class:`~.variable.VariableRateResampler`.
+
+    The VR state is the host input hold, the device cubic/prestage
+    carries, the closed-form ratio trajectory (anchor, su, su_end, du,
+    slew_n, k — soxr_set_io_ratio slews survive the snapshot mid-slew),
+    and the feed counters.  A fingerprint of the construction parameters
+    rejects cross-config restores.
+    """
+    payload = {
+        "magic": np.frombuffer(_MAGIC_V.encode(), dtype=np.uint8),
+        "fp": np.array(repr((vr.max_ratio, vr.batch, vr.block,
+                             str(vr.dtype), vr.quality))),
+        "hold": np.asarray(vr._hold),
+        "carry": np.asarray(vr._carry),
+        "pre_carry": np.asarray(vr._pre_carry),
+        "traj": np.array([vr._anchor, vr._su, vr._su_end, vr._du],
+                         dtype=np.float64),
+        "icounters": np.array([vr._k, vr._slew_n, vr._u_fed, vr._in_fed,
+                               vr.samples_in, vr.samples_out],
+                              dtype=np.int64),
+    }
+    _write_npz(payload, path)
+
+
+def load_vr_state(vr, path) -> None:
+    """Restore a snapshot taken by :func:`save_vr_state`.
+
+    ``vr`` must have been constructed with the same max_ratio, batch,
+    block, dtype and quality as the saved one; continuation is
+    bit-identical (positions are closed-form from the restored anchor,
+    never accumulated, so the restore cannot perturb rounding).
+    """
+    import jax.numpy as jnp
+
+    with np.load(pathlib.Path(path), allow_pickle=False) as data:
+        magic = bytes(data["magic"]).decode()
+        if magic != _MAGIC_V:
+            raise ValueError(f"not a VR state file: {path}")
+        want = repr((vr.max_ratio, vr.batch, vr.block, str(vr.dtype),
+                     vr.quality))
+        if str(data["fp"]) != want:
+            raise ValueError(
+                "checkpoint was taken from a different VR configuration "
+                "(max_ratio/batch/block/dtype/quality must match)")
+        vr._hold = np.asarray(data["hold"], dtype=vr.dtype)
+        vr._carry = jnp.asarray(data["carry"])
+        vr._pre_carry = jnp.asarray(data["pre_carry"])
+        traj = data["traj"]
+        vr._anchor = float(traj[0])
+        vr._su = float(traj[1])
+        vr._su_end = float(traj[2])
+        vr._du = float(traj[3])
+        ic = data["icounters"]
+        (vr._k, vr._slew_n, vr._u_fed, vr._in_fed,
+         vr.samples_in, vr.samples_out) = (int(v) for v in ic)

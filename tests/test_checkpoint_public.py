@@ -207,3 +207,54 @@ class TestResamplerCheckpoint:
         r = _mk_resampler()
         with pytest.raises((ValueError, KeyError)):
             load_resampler_state(r, ckpt)
+
+class TestVRCheckpoint:
+    """VariableRateResampler snapshots: the ratio trajectory (incl. a
+    live slew), device carries and the host hold must all survive; the
+    closed-form position model makes continuation bit-identical."""
+
+    def _mk(self, **kw):
+        from go_audio_resampler_tpu.engine import VariableRateResampler
+        return VariableRateResampler(4.0, 44100.0 / 48000.0, batch=2,
+                                     block=512, dtype=np.float64, **kw)
+
+    @pytest.mark.parametrize("quality", ["vr", "vr-hq"])
+    def test_bit_identical_resume_mid_slew(self, tmp_path, quality):
+        from go_audio_resampler_tpu.engine import (save_vr_state,
+                                                   load_vr_state)
+        va, vb = self._mk(quality=quality), self._mk(quality=quality)
+        x1 = RNG.standard_normal((2, 1800)) * 0.5
+        x2 = RNG.standard_normal((2, 1500)) * 0.5
+        va.process(x1)
+        va.set_io_ratio(0.5, slew_len=4000)   # snapshot lands MID-slew
+        va.process(x2)
+        p = tmp_path / "vr.npz"
+        save_vr_state(va, p)
+        load_vr_state(vb, p)
+        assert vb.get_statistics() == va.get_statistics()
+        x3 = RNG.standard_normal((2, 2200)) * 0.5
+        ya = np.concatenate([va.process(x3), va.flush()], axis=1)
+        yb = np.concatenate([vb.process(x3), vb.flush()], axis=1)
+        np.testing.assert_array_equal(ya, yb)
+        assert ya.shape[1] > 0
+
+    def test_cross_config_restore_rejected(self, tmp_path):
+        from go_audio_resampler_tpu.engine import (save_vr_state,
+                                                   load_vr_state)
+        va = self._mk()
+        p = tmp_path / "vr.npz"
+        save_vr_state(va, p)
+        other = self._mk(quality="vr-hq")
+        with pytest.raises(ValueError, match="configuration"):
+            load_vr_state(other, p)
+
+    def test_wrong_file_rejected(self, tmp_path):
+        from go_audio_resampler_tpu.engine import (EngineCore, plan_engine,
+                                                   save_stream_state,
+                                                   load_vr_state)
+        eng = EngineCore(plan_engine(44100.0, 48000.0, Quality.HIGH),
+                         batch=1, block=512, dtype=np.float64)
+        p = tmp_path / "eng.npz"
+        save_stream_state(eng, p)
+        with pytest.raises(ValueError, match="VR state"):
+            load_vr_state(self._mk(), p)
