@@ -768,6 +768,14 @@ class EngineCore:
             return self._banded_ipx, self._banded_p2
         return self._rational_ipx, self._rational_p2
 
+    def _put_batch(self, arr: jax.Array) -> jax.Array:
+        """Placement hook for device-mode batch-axis intermediates.
+
+        Identity here; ShardedEngineCore shards axis 0 over its mesh so
+        the head-corrected output stays sharded like the step output.
+        """
+        return arr
+
     def _head_x_device(self) -> jax.Array:
         """The collected banded-head input prefix as a device array."""
         hx = self._head_x
@@ -805,6 +813,7 @@ class EngineCore:
             xe = jnp.zeros((self.batch, head.shape[1]), self.dtype)
             xe = xe.at[:, self._banded_lam:
                        self._banded_lam + hx.shape[1]].set(hx)
+            xe = self._put_batch(xe)
             hm = jnp.asarray(np.asarray(head[k0:k1].T, dtype=self.dtype))
             corr = jnp.matmul(xe, hm, precision=lax.Precision.HIGHEST)
             out = jnp.concatenate([corr.astype(self.dtype),

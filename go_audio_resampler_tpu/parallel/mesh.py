@@ -239,6 +239,12 @@ class ShardedEngineCore(EngineCore):
                 self._aa_carry,
                 NamedSharding(self.mesh, P(STREAM_AXIS, None)))
 
+    def _put_batch(self, arr):
+        # Device-mode head intermediates shard on the stream axis so the
+        # head-corrected output keeps the step output's sharding.
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(STREAM_AXIS, None)))
+
     def _make_step(self):
         inner = self.core_fn()
         state_spec = self._spec_of(super()._init_state())

@@ -205,3 +205,50 @@ class TestShardedVariableRate:
         yr = np.concatenate([ser.process(x), ser.flush()], axis=1)
         assert ys.shape == yr.shape
         np.testing.assert_allclose(ys, yr, rtol=1e-13, atol=2e-15)
+
+
+class TestShardedDeviceMode:
+    """Device-resident serving on the sharded engine: process_device /
+    flush_device inherit through EngineCore and must (a) match the
+    serial stream and (b) keep the outputs sharded on the stream axis —
+    the multi-chip zero-sync serving path."""
+
+    def test_matches_serial_and_stays_sharded(self, mesh):
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        sharded = parallel.ShardedEngineCore(plan, mesh, batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        mult = sharded.device_chunk_multiple
+        assert mult is not None
+        x = np.random.default_rng(21).standard_normal((8, 6 * mult))
+        y1 = sharded.process_device(jnp.asarray(x))
+        y2 = sharded.flush_device()
+        assert isinstance(y1, jax.Array) and isinstance(y2, jax.Array)
+        assert len(y1.sharding.device_set) == 8
+        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+        serial = EngineCore(plan, batch=8, block=512, dtype=np.float64)
+        ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+    def test_banded_composite_device_mode(self, mesh):
+        from go_audio_resampler_tpu.engine import EngineCore
+        from go_audio_resampler_tpu.pipeline.fused import (BandedPlan,
+                                                           fuse_chain)
+        plans = [plan_engine(48000, 24000, Quality.HIGH),
+                 plan_engine(24000, 22050, Quality.HIGH, True)]
+        op = fuse_chain(plans)
+        assert op is not None and op.n_head > 0
+        bplan = BandedPlan(op, ratio=22050.0 / 48000.0)
+        sharded = parallel.ShardedEngineCore(bplan, mesh,
+                                             batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        mult = sharded.device_chunk_multiple
+        x = np.random.default_rng(22).standard_normal((8, 4 * mult))
+        got = np.concatenate(
+            [np.asarray(sharded.process_device(jnp.asarray(x))),
+             np.asarray(sharded.flush_device())], axis=1)
+        serial = EngineCore(bplan, batch=8, block=512, dtype=np.float64)
+        ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
