@@ -162,3 +162,56 @@ class TestCompiledPallas:
         err = np.max(np.abs(a - b)) / max(1e-30, np.max(np.abs(b)))
         # f32 rounding scale: the measured hardware delta is ~1.5e-7.
         assert err < 1e-5, f"streaming pallas vs xla rel err {err:.3e}"
+
+
+# Device-resident serving path on the real TPU: process_device /
+# flush_device must (a) never synchronize (the whole loop runs before a
+# single block_until_ready) and (b) match the host-returning stream.
+_DEVICE_CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+assert jax.default_backend() == 'tpu', jax.default_backend()
+import jax.numpy as jnp
+from go_audio_resampler_tpu.engine import plan_engine
+from go_audio_resampler_tpu.engine.streaming import EngineCore
+from go_audio_resampler_tpu.filterdesign import Quality
+
+plan = plan_engine({inr}, {outr}, Quality.HIGH)
+rng = np.random.default_rng(13)
+x = rng.normal(size=(128, 3 * 4096)).astype(np.float32)
+
+host = EngineCore(plan, batch=128, block=2048)
+ref = np.concatenate([host.process(x), host.flush()], axis=1)
+
+dev = EngineCore(plan, batch=128, block=2048)
+mult = dev.device_chunk_multiple
+n = (x.shape[1] // mult) * mult
+outs = [dev.process_device(jnp.asarray(x[:, :n]))]
+if n < x.shape[1]:
+    outs.append(jnp.asarray(dev.process(x[:, n:])))
+outs.append(dev.flush_device())
+got = np.concatenate([np.asarray(o) for o in outs], axis=1)
+assert got.shape == ref.shape, (got.shape, ref.shape)
+err = np.max(np.abs(got - ref)) / max(1e-30, np.max(np.abs(ref)))
+assert err < 1e-5, f"device vs host stream rel err {{err:.3e}}"
+print(f"OK device rel_err={{err:.3e}}")
+"""
+
+
+def _run_device_child(inr: float, outr: float):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    src = _DEVICE_CHILD.format(repo=_REPO, inr=inr, outr=outr)
+    res = subprocess.run([sys.executable, "-c", src], env=env,
+                         capture_output=True, text=True, timeout=1500)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "OK device" in res.stdout, res.stdout
+
+
+@pytest.mark.skipif(not _GATE, reason="set GAR_TPU_TESTS=1 to run on TPU")
+class TestDeviceModeOnTPU:
+    def test_device_stream_matches_host(self):
+        _run_device_child(44100.0, 48000.0)
