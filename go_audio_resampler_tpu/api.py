@@ -535,12 +535,14 @@ class Resampler:
         import jax.numpy as jnp
 
         self._check_not_flushed()
-        self._enter('multi')
+        # Validate BEFORE latching the entry mode: a chain that cannot run
+        # device-resident must not poison later host-path calls.
         eng = self._device_engine()
         if self._out_queue.shape[1]:
             raise ResamplerError(
                 "host-queued output pending from a prior process call; "
                 "drain it via process_multi first, or reset()")
+        self._enter('multi')
         frames = jnp.asarray(frames, dtype=self.dtype)
         if frames.ndim != 2 or frames.shape[0] != self.config.channels:
             raise InvalidConfigError(

@@ -229,6 +229,11 @@ def load_resampler_state(resampler, path) -> None:
                 f"checkpoint has {data['dtype']}")
         for i, eng in enumerate(resampler._exec):
             if isinstance(eng, EngineCore):
+                if f"e{i}_stub" in data.files:
+                    raise ValueError(
+                        f"segment {i} kind mismatch: resampler has an "
+                        "engine stage, checkpoint has a stub (Config/"
+                        "fusion env must match)")
                 _engine_restore(eng, data, prefix=f"e{i}_")
             else:
                 if f"e{i}_stub" not in data.files:

@@ -299,8 +299,25 @@ class BandedPlan:
 
     @property
     def fingerprint(self) -> tuple:
-        return ('banded', self.op.P, self.op.I, self.op.W, self.op.lam,
-                float(self.ratio))
+        """Stable identity for matrix caches and checkpoint validation.
+
+        Includes a digest of the operator's coefficient content (R and the
+        aperiodic head rows), mirroring EnginePlan.fingerprint: geometry
+        alone (P/I/W/lam) cannot distinguish two composites with the same
+        banded shape but different filters, and checkpoint.load_stream_state
+        relies on this to fail loudly on cross-config restores.
+        """
+        fp = getattr(self, '_fingerprint', None)
+        if fp is None:
+            import hashlib
+            h = hashlib.blake2b(digest_size=16)
+            h.update(np.ascontiguousarray(self.op.R).tobytes())
+            h.update(b'|' if self.op.head is None else
+                     np.ascontiguousarray(self.op.head).tobytes())
+            fp = ('banded', self.op.P, self.op.I, self.op.W, self.op.lam,
+                  float(self.ratio), h.hexdigest())
+            self._fingerprint = fp
+        return fp
 
     def latency(self) -> int:
         return self._latency

@@ -98,6 +98,26 @@ class TestBandedHeadCheckpoint:
         with pytest.raises(ValueError):
             load_stream_state(other, ckpt)
 
+    def test_same_geometry_different_coeffs_rejected(self, tmp_path):
+        """BandedPlan.fingerprint must hash coefficient CONTENT: two
+        composites with identical banded geometry (P/I/W/lam) but
+        different filters may not exchange checkpoints (the documented
+        loud-failure contract for cross-config restores)."""
+        import dataclasses
+
+        plan = _banded_head_plan()
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        eng.process(RNG.standard_normal((1, 4096)))
+        ckpt = tmp_path / "banded.npz"
+        save_stream_state(eng, ckpt)
+
+        op2 = dataclasses.replace(plan.op, R=plan.op.R * (1.0 + 1e-6))
+        plan2 = BandedPlan(op2, ratio=plan.ratio)
+        assert plan2.fingerprint != plan.fingerprint
+        other = EngineCore(plan2, batch=1, block=512, dtype=np.float64)
+        with pytest.raises(ValueError, match="fingerprint"):
+            load_stream_state(other, ckpt)
+
 
 class TestResamplerCheckpoint:
 
@@ -207,6 +227,24 @@ class TestResamplerCheckpoint:
         r = _mk_resampler()
         with pytest.raises((ValueError, KeyError)):
             load_resampler_state(r, ckpt)
+
+    def test_stub_segment_in_checkpoint_rejected(self, tmp_path):
+        """A checkpoint whose segment i is a stub may not restore into a
+        resampler whose segment i is an EngineCore: both mismatch
+        directions must raise the diagnostic ValueError, not leak a
+        KeyError from the missing engine keys."""
+        r = _mk_resampler()
+        ckpt = tmp_path / "real.npz"
+        save_resampler_state(r, ckpt)
+        with np.load(ckpt, allow_pickle=False) as data:
+            payload = {k: data[k] for k in data.files
+                       if not k.startswith("e0_")}
+        payload["e0_stub"] = np.array([0, 0], dtype=np.int64)
+        forged = tmp_path / "stubbed.npz"
+        np.savez(forged, **payload)
+        r2 = _mk_resampler()
+        with pytest.raises(ValueError, match="kind mismatch"):
+            load_resampler_state(r2, forged)
 
 class TestVRCheckpoint:
     """VariableRateResampler snapshots: the ratio trajectory (incl. a

@@ -221,6 +221,12 @@ class TestPublicResamplerDeviceMode:
             r.process_multi_device(jnp.zeros((2, 1024)))
         with pytest.raises(NotImplementedError):
             r.flush_multi_device()
+        # The failed device call must NOT have latched the entry mode:
+        # the host path stays usable without a reset() (validation
+        # precedes the mode latch).
+        assert r._entry_mode is None
+        out = r.process_multi([np.zeros(1024), np.zeros(1024)])
+        assert len(out) == 2
 
     def test_queued_host_output_raises(self):
         # Queued host output (the limit-capped process_into holdback)
