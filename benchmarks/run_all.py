@@ -73,6 +73,16 @@ def main() -> None:
     # "CPU smoke" must not silently run on the TPU.
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache (same as bench.py): remote-tunnel
+    # compiles take 2-10 min each; repeat/partial matrix runs hit disk.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 os.pardir, ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from go_audio_resampler_tpu.engine import plan_engine
     from go_audio_resampler_tpu.engine.oneshot import (_oneshot_jit,
@@ -141,7 +151,7 @@ def main() -> None:
 
     # 6. streaming serving path: fused per-block step, 16 blocks chained
     # on-device (slope between batch sizes cancels launch overhead)
-    def fused_step_slope():
+    def fused_step_slope(n_steps: int = 64):
         from go_audio_resampler_tpu.engine.streaming import _step_rational_fused
         import importlib
         osmod = importlib.import_module(
@@ -152,7 +162,6 @@ def main() -> None:
         wx = r.shape[1]
         blk = 16 * ipx
         carry_len = -(-max(wx - ipx, 0) // ipx) * ipx
-        n_steps = 64
 
         def make(s):
             x = jnp.asarray(rng.normal(size=(s, blk)).astype(np.float32))
@@ -185,6 +194,25 @@ def main() -> None:
         _strm._step_rational_fused.clear_cache()
         try:
             results["streaming_fused_step_fast_tier"] = fused_step_slope()
+        finally:
+            del os.environ["GAR_TPU_MATMUL_PRECISION"]
+            _strm._step_rational_fused.clear_cache()
+
+    # 6b. 1-pass bf16 ingest tier (GAR_TPU_MATMUL_PRECISION=default):
+    # the Pallas DMA-framing kernel wins this tier decisively (the
+    # matmul shrinks until XLA's gather+einsum is framing-bound), so
+    # the auto dispatch takes it — measured THD -70.6 dB (bf16 noise
+    # floor; QUALITY_tpu.json pins it).  The chain is 8x deeper than
+    # the exact-f32 row: at ~3x the throughput, a 64-step batch
+    # contrast lands under the 2 ms jitter floor and slope_msps would
+    # degrade to a lower bound.
+    if wanted("streaming_fused_step_ingest_tier"):
+        from go_audio_resampler_tpu.engine import streaming as _strm
+        os.environ["GAR_TPU_MATMUL_PRECISION"] = "default"
+        _strm._step_rational_fused.clear_cache()
+        try:
+            results["streaming_fused_step_ingest_tier"] = \
+                fused_step_slope(n_steps=512)
         finally:
             del os.environ["GAR_TPU_MATMUL_PRECISION"]
             _strm._step_rational_fused.clear_cache()
@@ -393,6 +421,40 @@ def main() -> None:
         else:
             results["streaming_device_e2e_44k_48k"] = \
                 6 * s_d * chunk / dt / 1e6
+
+    # 8f. PIPELINED host e2e: numpy in -> numpy out through
+    # EngineCore.stream(), which dispatches chunk k+1 before downloading
+    # chunk k so the device->host transfer rides under the next chunk's
+    # compute (ROADMAP 13).  Same host-inclusive loop as 8c — the delta
+    # vs streaming_e2e_* is purely the overlap.
+    if wanted("streaming_pipelined_e2e_44k_48k"):
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        s_p = max(256 // scale, 1)
+        eng_p = EngineCore(plan, batch=s_p, block=2048, dtype=np.float32)
+        chunk_p = 44100
+
+        def make_pipe(k_chunks):
+            xs = [rng.normal(size=(s_p, chunk_p)).astype(np.float32)
+                  for _ in range(k_chunks)]
+
+            def f():
+                eng_p.reset()
+                tot = 0
+                for y in eng_p.stream(xs):
+                    tot += y.shape[1]
+                return tot
+            return f
+        t2 = min_time(make_pipe(2))
+        t8 = min_time(make_pipe(8))
+        dt = t8 - t2
+        print(f"    [t(2)={t2*1e3:.1f}ms t(8)={t8*1e3:.1f}ms]", flush=True)
+        if dt < 0.002:
+            results["streaming_pipelined_e2e_44k_48k"] = \
+                8 * s_p * chunk_p / t8 / 1e6
+        else:
+            results["streaming_pipelined_e2e_44k_48k"] = \
+                6 * s_p * chunk_p / dt / 1e6
 
     # 9. FFT overlap-save vs banded-matmul decimation (paired): the FFT
     # lowering's throughput is length-independent; the matmul path wins

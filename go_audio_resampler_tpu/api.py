@@ -570,6 +570,62 @@ class Resampler:
         self.samples_out += int(y.shape[1])
         return y
 
+    def stream_multi(self, chunks, out: str = 'host'):
+        """Pipelined streaming over an iterable of ``[channels, n]`` chunks.
+
+        Generator twin of :meth:`process_multi` + :meth:`flush_multi`
+        with the upload/compute/download phases overlapped
+        (engine/streaming.EngineCore.stream): the device->host download
+        of chunk k rides under the device compute of chunk k+1, so the
+        host loop never serializes transfer against compute the way the
+        reference's synchronous CLI loop does
+        (cmd/resample-wav/main.go:270-339).  Yields ``[channels, n_out]``
+        arrays in stream order, ending with the flush tail; once the
+        generator is exhausted the resampler is flushed (``reset()`` to
+        reuse; abandoning the generator mid-iteration leaves the stream
+        mid-flight).  ``out='device'`` yields ``jax.Array`` without
+        downloading (fused device-mode chains only).
+        """
+        self._check_not_flushed()
+        if self._out_queue.shape[1]:
+            raise ResamplerError(
+                "host-queued output pending from a prior process call; "
+                "drain it via process_multi first, or reset()")
+        if len(self._exec) == 1 and isinstance(self._exec[0], EngineCore):
+            eng = self._exec[0]
+            self._enter('multi')
+
+            def _feed():
+                for x in chunks:
+                    x = np.asarray(x, dtype=self.dtype)
+                    if x.ndim != 2 or x.shape[0] != self.config.channels:
+                        raise InvalidConfigError(
+                            f"expected [channels={self.config.channels}, n] "
+                            f"chunks, got shape {x.shape}")
+                    self.samples_in += x.shape[1]
+                    yield x
+
+            for y in eng.stream(_feed(), out=out):
+                self.samples_out += int(y.shape[1])
+                yield y
+            self._flushed = True
+            return
+        if out == 'device':
+            self._device_engine()     # raises the diagnostic error
+        self._enter('multi')
+        for x in chunks:
+            x = np.asarray(x, dtype=self.dtype)
+            if x.ndim != 2 or x.shape[0] != self.config.channels:
+                raise InvalidConfigError(
+                    f"expected [channels={self.config.channels}, n] "
+                    f"chunks, got shape {x.shape}")
+            y = np.stack(self.process_multi(list(x)))
+            if y.shape[1]:
+                yield y
+        tail = np.stack(self.flush_multi())
+        if tail.shape[1]:
+            yield tail
+
     # -- into variants (constant.go:103-199) --------------------------------
 
     def estimate_output(self, n_in: int) -> int:

@@ -232,22 +232,28 @@ def run(argv=None) -> int:
         writer = WavWriter(args.output, int(out_rate), channels, bits)
 
         t0 = time.perf_counter()
-        frames_done = 0
-        next_pct = 10
-        while True:
-            block = reader.read(CHUNK_FRAMES)       # [n, ch]
-            if block.shape[0] == 0:
-                break
-            y = engine.process(np.ascontiguousarray(block.T).astype(dtype))
+        progress = {"frames": 0, "next_pct": 10}
+
+        def _chunks():
+            # Generator feeding EngineCore.stream: decode of chunk k+1 and
+            # download of chunk k both overlap the device compute (the
+            # reference's loop is serial read->compute->write,
+            # cmd/resample-wav/main.go:270-339).
+            while True:
+                block = reader.read(CHUNK_FRAMES)    # [n, ch]
+                if block.shape[0] == 0:
+                    return
+                progress["frames"] += block.shape[0]
+                if reader.num_frames:
+                    pct = 100 * progress["frames"] // reader.num_frames
+                    while args.v and pct >= progress["next_pct"]:
+                        print(f"  {progress['next_pct']}%")
+                        progress["next_pct"] += 10
+                yield np.ascontiguousarray(block.T).astype(dtype)
+
+        for y in engine.stream(_chunks()):
             writer.write(y.T)                        # [n_out, ch]
-            frames_done += block.shape[0]
-            if reader.num_frames:
-                pct = 100 * frames_done // reader.num_frames
-                while args.v and pct >= next_pct:
-                    print(f"  {next_pct}%")
-                    next_pct += 10
-        tail = engine.flush()
-        writer.write(tail.T)
+        frames_done = progress["frames"]
         writer.close()
         reader.close()
         elapsed = time.perf_counter() - t0

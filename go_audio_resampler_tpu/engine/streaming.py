@@ -926,6 +926,87 @@ class EngineCore:
             return jnp.concatenate(outs, axis=1)
         return jnp.zeros((self.batch, 0), self.dtype)
 
+    def stream(self, chunks, out: str = 'host'):
+        """Pipelined streaming over an iterable of chunks (generator).
+
+        The host-loop twin of :meth:`process_device` for callers that live
+        in numpy: each input chunk is uploaded and dispatched immediately
+        (JAX dispatch is asynchronous), but the device->host download of
+        chunk k is deferred until chunk k+1 has been dispatched — so the
+        transfer of one chunk overlaps the device compute of the next,
+        and the device never idles during a download.  The reference's
+        synchronous 65536-sample CLI loop (cmd/resample-wav/main.go:270-339)
+        pays read->compute->write serially per chunk; here the three
+        phases pipeline.
+
+        ``chunks`` yields arrays of ANY widths ([batch, n] or [n] for
+        batch==1); a host-side remainder buffer carves them into
+        :attr:`device_chunk_multiple` granules.  Yields the resampled
+        stream in order, ending with the flush tail; the concatenation is
+        canonically identical to ``process(all)+flush()``.
+
+        ``out='host'`` yields ``np.ndarray``; ``out='device'`` yields
+        ``jax.Array`` without ever downloading (the caller owns sync
+        cadence — requires a device-mode topology).  Topologies without
+        static output counts (cubic, non-exact polyphase) fall back to
+        the synchronous host path for ``out='host'``.
+        """
+        if out not in ('host', 'device'):
+            raise ValueError(f"out must be 'host' or 'device', got {out!r}")
+        mult = self.device_chunk_multiple
+        if mult is None:
+            if out == 'device':
+                raise NotImplementedError(
+                    f"stream(out='device'): topology {self.plan.kind!r} "
+                    "has data-dependent output counts; use out='host'")
+            for x in chunks:
+                y = self.process(x)
+                if y.shape[1]:
+                    yield y
+            tail = self.flush()
+            if tail.shape[1]:
+                yield tail
+            return
+
+        def _norm(x) -> np.ndarray:
+            x = np.asarray(x, dtype=self.dtype)
+            if x.ndim == 1:
+                x = (np.broadcast_to(x, (self.batch, x.shape[0]))
+                     if self.batch > 1 else x[None, :])
+            return x
+
+        def _pop(pend):
+            return np.asarray(pend) if out == 'host' else pend
+
+        pend = None                              # dispatched, not downloaded
+        buf = np.zeros((self.batch, 0), self.dtype)
+        for x in chunks:
+            buf = np.concatenate([buf, _norm(x)], axis=1)
+            n = (buf.shape[1] // mult) * mult
+            if not n:
+                continue
+            y = self.process_device(jnp.asarray(buf[:, :n]))
+            buf = buf[:, n:]
+            if pend is not None and pend.shape[1]:
+                yield _pop(pend)                 # overlaps y's device work
+            pend = y
+        if buf.shape[1]:
+            # Sub-granule remainder: hand it to the host accumulator;
+            # flush_device folds the pending input into the tail.  When
+            # the granule is smaller than the host block (the usual case)
+            # nothing computes here, but a granule larger than the block
+            # can emit host output — keep the stream ordered either way.
+            got = self.process(buf)
+            if got.shape[1]:
+                if pend is not None and pend.shape[1]:
+                    yield _pop(pend)
+                pend = jnp.asarray(got) if out == 'device' else got
+        tail = self.flush_device()
+        if pend is not None and pend.shape[1]:
+            yield _pop(pend)
+        if tail.shape[1]:
+            yield _pop(tail)
+
     def _flush_extra_limit(self) -> int:
         """Max extra zero blocks flush may legally need (exact holdback).
 

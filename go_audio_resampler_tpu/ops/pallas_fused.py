@@ -95,10 +95,12 @@ def mxu_dot(a, b):
     NOTE: production dispatch never reaches this branch — measured on
     v5e, the 3-pass kernel loses to the 3-pass XLA lowering (19.0 vs
     26.4 Gs/s interleaved A/B: once the matmul halves, the kernel's
-    framing overhead dominates), so ``dispatch_allowed`` gates the
-    kernels to the HIGHEST tier.  The limb split stays for explicit
+    framing overhead dominates), so ``dispatch_allowed`` closes the
+    gate at the HIGH tier specifically (it stays open at HIGHEST and
+    DEFAULT, whose pass counts Mosaic lowers natively — and at DEFAULT
+    the kernel wins the A/B 2x).  The limb split stays for explicit
     kernel calls and future shapes/hardware where DMA framing pays at
-    reduced precision.
+    the hand-rolled tier.
     """
     p = dot_precision()
     if p == lax.Precision.HIGH:
@@ -389,13 +391,19 @@ class force_xla:
 def dispatch_allowed() -> bool:
     """Shared gate: Pallas kernels may be considered for lowering.
 
-    The DMA-framing kernels are tuned for the 6-pass exact-f32 matmul;
-    at the 3-pass tier the matmul halves and the kernels' framing
-    overhead (roll + frame copies) dominates — the XLA lowering wins the
-    interleaved hardware A/B decisively there (26.4 vs 19.0 Gs/s on the
-    serving step, v5e), while at HIGHEST the two are within tunnel noise
-    (Pallas +7%..+13% in paired runs).  Reduced-precision tiers
-    therefore auto-route to XLA.
+    Open at the MXU-native pass counts and closed at the hand-rolled
+    one, per interleaved hardware A/Bs on the serving step (v5e):
+
+    - HIGHEST (6-pass): within tunnel noise of XLA (Pallas +7%..+13%
+      in paired runs) — open.
+    - DEFAULT (1-pass bf16, the ML-ingest tier): the kernel wins
+      decisively, 68.5 vs 35.0 Gs/s depth slopes — the matmul shrinks
+      to the point where XLA's gather+einsum is framing-bound while the
+      DMA kernel keeps streaming — open.
+    - HIGH (3-pass): Mosaic's dot lowering rejects Precision.HIGH, so
+      the kernel's tier is the hand-rolled hi+lo limb split (mxu_dot),
+      which loses the A/B decisively (19.0 vs 26.4 Gs/s) — closed,
+      auto-route to XLA.
     """
     import os
 
@@ -403,7 +411,7 @@ def dispatch_allowed() -> bool:
 
     return (_FORCE_XLA_DEPTH == 0
             and os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
-            and dot_precision() == lax.Precision.HIGHEST
+            and dot_precision() != lax.Precision.HIGH
             and jax.default_backend() == 'tpu')
 
 

@@ -255,3 +255,117 @@ class TestPublicResamplerDeviceMode:
         assert np.asarray(r.flush_multi_device()).shape[1] == 0
         with pytest.raises(gar.ResamplerError, match="flush"):
             r.process_multi_device(jnp.zeros((2, mult)))
+
+
+class TestPipelinedStream:
+    """EngineCore.stream / Resampler.stream_multi: the pipelined host
+    loop (one-chunk download lag) must emit the canonical stream for
+    arbitrary input chunkings, both output modes, and the host-fallback
+    topologies."""
+
+    def _ref(self, plan, x, block=512):
+        eng = EngineCore(plan, batch=x.shape[0], block=block,
+                         dtype=np.float64)
+        return np.concatenate([eng.process(x), eng.flush()], axis=1)
+
+    @pytest.mark.parametrize("name,plan", _plan_cases())
+    def test_parity_all_topologies(self, name, plan):
+        x = RNG.standard_normal((2, 7001)) * 0.5
+        ref = self._ref(plan, x)
+        eng = EngineCore(plan, batch=2, block=512, dtype=np.float64)
+        # Ragged chunking exercises the remainder buffer.
+        cuts = [0, 997, 1000, 3000, 3001, 6500, 7001]
+        chunks = [x[:, a:b] for a, b in zip(cuts, cuts[1:])]
+        got = np.concatenate(list(eng.stream(chunks)), axis=1)
+        assert got.shape == ref.shape, (name, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_banded_head_parity(self):
+        plan = _banded_plan()
+        x = RNG.standard_normal((1, 9000)) * 0.5
+        ref = self._ref(plan, x)
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        got = np.concatenate(
+            list(eng.stream([x[:, :4096], x[:, 4096:]])), axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_device_out_mode_yields_jax_arrays(self):
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        x = RNG.standard_normal((2, 6000)) * 0.5
+        ref = self._ref(plan, x)
+        eng = EngineCore(plan, batch=2, block=512, dtype=np.float64)
+        outs = list(eng.stream([x[:, :2000], x[:, 2000:]], out='device'))
+        assert all(isinstance(o, jax.Array) for o in outs)
+        got = np.concatenate([np.asarray(o) for o in outs], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_host_fallback_topology(self):
+        # Cubic (QUICK) has data-dependent counts: stream() must fall
+        # back to the synchronous host path and still match.
+        plan = plan_engine(44100.0, 48000.0, Quality.QUICK)
+        assert EngineCore(plan, batch=1).device_chunk_multiple is None
+        x = RNG.standard_normal((1, 5000)) * 0.5
+        ref = self._ref(plan, x)
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        got = np.concatenate(
+            list(eng.stream([x[:, :1234], x[:, 1234:]])), axis=1)
+        np.testing.assert_array_equal(got, ref)
+        with pytest.raises(NotImplementedError, match="device"):
+            eng2 = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+            list(eng2.stream([x], out='device'))
+
+    def test_empty_and_tiny_chunks(self):
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        x = RNG.standard_normal((1, 3000)) * 0.5
+        ref = self._ref(plan, x)
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        chunks = [x[:, :0]] + [x[:, i:i + 100] for i in range(0, 3000, 100)]
+        got = np.concatenate(list(eng.stream(chunks)), axis=1)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_public_stream_multi_parity(self):
+        ra = gar.new_resampler(gar.Config(
+            48000, 8000, channels=2,
+            quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+            dtype=np.float64))
+        rb = gar.new_resampler(gar.Config(
+            48000, 8000, channels=2,
+            quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+            dtype=np.float64))
+        x = RNG.standard_normal((2, 20000)) * 0.5
+        host = np.stack(ra.process_multi(list(x)))
+        host = np.concatenate([host, np.stack(ra.flush_multi())], axis=1)
+        got = np.concatenate(
+            list(rb.stream_multi([x[:, :7000], x[:, 7000:]])), axis=1)
+        assert got.shape == host.shape
+        np.testing.assert_allclose(got, host, rtol=1e-9, atol=1e-12)
+        assert rb.samples_in == 20000
+        assert rb.samples_out == host.shape[1]
+        with pytest.raises(gar.ResamplerError, match="flush"):
+            rb.process_multi([x[0], x[1]])
+
+    def test_public_stream_multi_unfused_fallback(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_FUSE_PIPELINE", "0")
+        ra = gar.new_resampler(gar.Config(
+            48000, 22050, channels=2,
+            quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+            dtype=np.float64))
+        rb = gar.new_resampler(gar.Config(
+            48000, 22050, channels=2,
+            quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+            dtype=np.float64))
+        assert len(rb._exec) > 1
+        x = RNG.standard_normal((2, 12000)) * 0.5
+        host = np.stack(ra.process_multi(list(x)))
+        host = np.concatenate([host, np.stack(ra.flush_multi())], axis=1)
+        got = np.concatenate(
+            list(rb.stream_multi([x[:, :5000], x[:, 5000:]])), axis=1)
+        np.testing.assert_array_equal(got, host)
+        with pytest.raises(NotImplementedError):
+            r3 = gar.new_resampler(gar.Config(
+                48000, 22050, channels=2,
+                quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+                dtype=np.float64))
+            list(r3.stream_multi([x], out='device'))

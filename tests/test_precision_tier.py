@@ -66,19 +66,21 @@ class TestTierReachesTrace:
 
 
 class TestDispatchGate:
-    """Reduced tiers must close the Pallas dispatch gate (the kernels are
-    tuned for the 6-pass matmul; XLA wins the 3-pass A/B, see
-    dispatch_allowed docstring)."""
+    """The gate is open at the MXU-native pass counts (HIGHEST, DEFAULT)
+    and closed at the hand-rolled 3-pass tier, where the limb-split
+    kernel loses the hardware A/B to XLA (see dispatch_allowed)."""
 
-    def test_gate_closed_on_reduced_tier(self, monkeypatch):
+    def test_gate_per_tier(self, monkeypatch):
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         monkeypatch.delenv("GAR_TPU_USE_PALLAS", raising=False)
         monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "highest")
         assert pf.dispatch_allowed()
         monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "high")
         assert not pf.dispatch_allowed()
+        # DEFAULT = native 1-pass: the kernel wins 2x on hardware (68.5
+        # vs 35.0 Gs/s interleaved depth slopes), so the gate is OPEN.
         monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "default")
-        assert not pf.dispatch_allowed()
+        assert pf.dispatch_allowed()
 
 
 class TestPerEngineDispatch:

@@ -182,6 +182,24 @@ def main() -> int:
         del _os.environ['GAR_TPU_MATMUL_PRECISION']
         osm._oneshot_jit.clear_cache()
 
+    # --- opt-in 1-pass ingest tier (GAR_TPU_MATMUL_PRECISION=default) ----
+    # The bf16 ML-ingest tier (68.5 Gs/s serving step, doc.md): pin its
+    # DOCUMENTED quality (~-70 dB THD) so a kernel change that degrades
+    # it below bf16-rounding quality fails the round.
+    print("Ingest matmul tier (1-pass bf16) on device output:")
+    _os.environ['GAR_TPU_MATMUL_PRECISION'] = 'default'
+    osm._oneshot_jit.clear_cache()
+    try:
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        y = run(plan, signals.sine(N, 1000.0, 44100))
+        val = metrics.thd(y, 48000, 1000.0, FFT)
+        record("thd_44k_48k_high_ingest_tier_db", round(val, 2),
+               val <= -65.0,
+               "floor -65 (documented ~-70.6; opt-in tier, not a preset)")
+    finally:
+        del _os.environ['GAR_TPU_MATMUL_PRECISION']
+        osm._oneshot_jit.clear_cache()
+
     out = pathlib.Path(args.out)
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"wrote {out} — {len(failures)} failure(s)")
