@@ -430,7 +430,11 @@ def main() -> None:
     if wanted("streaming_pipelined_e2e_44k_48k"):
         from go_audio_resampler_tpu.engine import EngineCore
         plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
-        s_p = max(256 // scale, 1)
+        # Modest geometry on purpose: this row measures the HOST loop
+        # (upload + compute + download per chunk, one-chunk lag), so the
+        # timed call moves k * s * chunk * 4 bytes each way through the
+        # tunnel; 64 streams x ~1 s keeps one iteration ~11 MB/dir.
+        s_p = max(64 // scale, 1)
         eng_p = EngineCore(plan, batch=s_p, block=2048, dtype=np.float32)
         chunk_p = 44100
 
@@ -445,16 +449,37 @@ def main() -> None:
                     tot += y.shape[1]
                 return tot
             return f
-        t2 = min_time(make_pipe(2))
-        t8 = min_time(make_pipe(8))
-        dt = t8 - t2
-        print(f"    [t(2)={t2*1e3:.1f}ms t(8)={t8*1e3:.1f}ms]", flush=True)
-        if dt < 0.002:
-            results["streaming_pipelined_e2e_44k_48k"] = \
-                8 * s_p * chunk_p / t8 / 1e6
-        else:
-            results["streaming_pipelined_e2e_44k_48k"] = \
-                6 * s_p * chunk_p / dt / 1e6
+        # Paired serial twin: the SAME device-mode launches (shared jit
+        # cache) but with the download forced right after each dispatch —
+        # isolates exactly what the one-chunk lag buys.
+        def make_serial(k_chunks):
+            xs = [rng.normal(size=(s_p, chunk_p)).astype(np.float32)
+                  for _ in range(k_chunks)]
+
+            def f():
+                eng_p.reset()
+                tot = 0
+                for x in xs:
+                    y = np.asarray(eng_p.process_device(jnp.asarray(x)))
+                    tot += y.shape[1]
+                tot += np.asarray(eng_p.flush_device()).shape[1]
+                return tot
+            return f
+
+        def chunk_slope(mk, name):
+            t2 = min_time(mk(2), iters=8)
+            t6 = min_time(mk(6), iters=8)
+            dt = t6 - t2
+            print(f"    [{name} t(2)={t2*1e3:.1f}ms t(6)={t6*1e3:.1f}ms]",
+                  flush=True)
+            if dt < 0.002:
+                return 6 * s_p * chunk_p / t6 / 1e6
+            return 4 * s_p * chunk_p / dt / 1e6
+
+        results["streaming_serial_device_e2e_44k_48k"] = \
+            chunk_slope(make_serial, "serial")
+        results["streaming_pipelined_e2e_44k_48k"] = \
+            chunk_slope(make_pipe, "pipelined")
 
     # 9. FFT overlap-save vs banded-matmul decimation (paired): the FFT
     # lowering's throughput is length-independent; the matmul path wins

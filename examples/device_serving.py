@@ -75,6 +75,17 @@ def main():
     print(f"resumed: samples_in={eng2.samples_in}, "
           f"samples_out={eng2.samples_out}")
 
+    # Host-consumer variant: when the output must land in numpy (file
+    # writers, non-JAX consumers), the pipelined generator overlaps the
+    # device->host download of chunk k with chunk k+1's device compute
+    # (EngineCore.stream, one-chunk download lag) — no threads, just
+    # async dispatch.
+    eng3 = EngineCore(plan, batch=64, block=4096, dtype=np.float32)
+    chunks = (rng.standard_normal((64, chunk)).astype(np.float32) * 0.3
+              for _ in range(3))
+    n_out = sum(y.shape[1] for y in eng3.stream(chunks))
+    print(f"pipelined host stream: {n_out} samples x 64 streams")
+
 
 if __name__ == "__main__":
     main()
