@@ -153,3 +153,31 @@ def test_soxr_compat_stream_invariant(seed):
     got = np.concatenate(outs, axis=0)
     assert got.shape == ref.shape, (inr, outr, ch, q)
     np.testing.assert_allclose(got, ref, rtol=0, atol=4e-6)
+
+
+# Round-4 surface: the pipelined stream() generator is a reordering of
+# the same launches (one-chunk download lag) and must be invariant to
+# the chunk pattern, equal to process+flush, across random configs.
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pipelined_stream_invariant(seed):
+    rng = np.random.default_rng(9000 + seed)
+    inr, outr = rng.choice(RATES, size=2, replace=False)
+    q = QUALITIES[int(rng.integers(len(QUALITIES)))]
+    n = int(rng.integers(500, 6000))
+    batch = int(rng.integers(1, 4))
+    block = int(rng.choice([512, 2048]))
+    x = (rng.normal(size=(batch, n)) * 0.5).astype(np.float64)
+
+    plan = plan_engine(float(inr), float(outr), q)
+    ref_eng = EngineCore(plan, batch=batch, block=block, dtype=np.float64)
+    ref = np.concatenate([ref_eng.process(x), ref_eng.flush()], axis=1)
+
+    eng = EngineCore(plan, batch=batch, block=block, dtype=np.float64)
+    cuts = np.cumsum([0] + random_chunks(rng, n))
+    chunks = [x[:, a:b] for a, b in zip(cuts, cuts[1:])]
+    got_list = list(eng.stream(chunks))
+    got = (np.concatenate(got_list, axis=1) if got_list
+           else np.zeros((batch, 0)))
+    assert got.shape == ref.shape, (inr, outr, q, n, block)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)

@@ -149,6 +149,7 @@ class TestCompiledPallas:
         (44100.0, 48000.0, 4096),
         (48000.0, 44100.0, 2048),
         (48000.0, 44100.0, 4096),
+        (96000.0, 48000.0, 2048),   # decimate streaming step
     ])
     def test_streaming_engine_pallas_parity(self, tmp_path, inr, outr, block):
         """EngineCore streaming output: dispatch='pallas' vs 'xla' on TPU."""
@@ -215,3 +216,66 @@ def _run_device_child(inr: float, outr: float):
 class TestDeviceModeOnTPU:
     def test_device_stream_matches_host(self):
         _run_device_child(44100.0, 48000.0)
+
+
+# Public pipeline path on the real TPU: the 48k->8k HIGH config builds a
+# multi-stage chain that fuses into one banded composite (aperiodic head
+# rows + strict length model); process_multi_device and the pipelined
+# stream_multi generator must both match the host-returning methods on
+# hardware through the compiled (Pallas-default) lowerings.
+_PIPELINE_CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+assert jax.default_backend() == 'tpu', jax.default_backend()
+import jax.numpy as jnp
+import go_audio_resampler_tpu as gar
+
+def mk():
+    return gar.new_resampler(gar.Config(
+        48000, 8000, channels=8,
+        quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+        dtype=np.float32))
+
+rng = np.random.default_rng(17)
+x = rng.normal(size=(8, 48000)).astype(np.float32) * 0.5
+
+ra = mk()
+host = np.stack(ra.process_multi(list(x)))
+host = np.concatenate([host, np.stack(ra.flush_multi())], axis=1)
+
+rb = mk()
+assert rb.device_chunk_multiple is not None, "chain did not fuse"
+mult = rb.device_chunk_multiple
+n = (x.shape[1] // mult) * mult
+outs = [np.asarray(rb.process_multi_device(jnp.asarray(x[:, :n])))]
+if n < x.shape[1]:
+    outs.append(np.stack(rb.process_multi(list(x[:, n:]))))
+outs.append(np.asarray(rb.flush_multi_device()))
+dev = np.concatenate([o for o in outs if o.size], axis=1)
+assert dev.shape == host.shape, (dev.shape, host.shape)
+e1 = np.max(np.abs(dev - host)) / max(1e-30, np.max(np.abs(host)))
+assert e1 < 1e-5, f"device vs host rel err {{e1:.3e}}"
+
+rc = mk()
+got = np.concatenate(
+    list(rc.stream_multi([x[:, :20000], x[:, 20000:]])), axis=1)
+assert got.shape == host.shape, (got.shape, host.shape)
+e2 = np.max(np.abs(got - host)) / max(1e-30, np.max(np.abs(host)))
+assert e2 < 1e-5, f"stream_multi vs host rel err {{e2:.3e}}"
+print(f"OK pipeline dev={{e1:.3e}} stream={{e2:.3e}}")
+"""
+
+
+@pytest.mark.skipif(not _GATE, reason="set GAR_TPU_TESTS=1 to run on TPU")
+class TestPublicPipelineOnTPU:
+    def test_banded_composite_device_and_stream(self):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        src = _PIPELINE_CHILD.format(repo=_REPO)
+        res = subprocess.run([sys.executable, "-c", src], env=env,
+                             capture_output=True, text=True, timeout=1500)
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert "OK pipeline" in res.stdout, res.stdout

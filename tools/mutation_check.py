@@ -157,7 +157,23 @@ def run(mut) -> bool:
         shutil.move(backup, src)
 
 
+def _restore_stragglers() -> None:
+    """Put back any .mutbak left by a killed run (SIGTERM skips finally)."""
+    for bak in REPO.glob("go_audio_resampler_tpu/**/*.mutbak"):
+        shutil.move(bak, bak.with_suffix(".py"))
+        print(f"restored straggler {bak.with_suffix('.py')}", file=sys.stderr)
+
+
 def main() -> int:
+    import signal
+
+    # A SIGTERM mid-run (driver timeout, task stop) bypasses the finally
+    # and would leave a LIVE MUTANT in the tree; convert it to an
+    # exception so run()'s restore executes, and sweep stragglers from
+    # any previous kill before starting.
+    signal.signal(signal.SIGTERM,
+                  lambda *a: (_ for _ in ()).throw(KeyboardInterrupt()))
+    _restore_stragglers()
     only = sys.argv[1] if len(sys.argv) > 1 else None
     ok = True
     for mut in MUTATIONS:
