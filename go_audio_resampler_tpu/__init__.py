@@ -68,7 +68,7 @@ from .filterdesign import Quality as EngineQuality
 from . import functional
 from .functional import resample
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Config", "QualityPreset", "QualitySpec", "QualityFlags", "Info",
