@@ -208,14 +208,19 @@ def main() -> None:
     # degrade to a lower bound.
     if wanted("streaming_fused_step_ingest_tier"):
         from go_audio_resampler_tpu.engine import streaming as _strm
+        from go_audio_resampler_tpu.ops import pallas_fused as _pf
         os.environ["GAR_TPU_MATMUL_PRECISION"] = "default"
+        # Clear the kernel's own jit too: the tier is read at trace time
+        # and a full-matrix run has already traced it at HIGHEST.
         _strm._step_rational_fused.clear_cache()
+        _pf.fused_resample_pallas.clear_cache()
         try:
             results["streaming_fused_step_ingest_tier"] = \
                 fused_step_slope(n_steps=512)
         finally:
             del os.environ["GAR_TPU_MATMUL_PRECISION"]
             _strm._step_rational_fused.clear_cache()
+            _pf.fused_resample_pallas.clear_cache()
 
     # 7. non-exact-rational general path: gather+einsum polyphase (the
     # fused periodic matmul does not apply; 44.1k->48.001k has no small
