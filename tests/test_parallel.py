@@ -252,3 +252,33 @@ class TestShardedDeviceMode:
         ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+
+class TestShardedPipelinedStream:
+    """The pipelined stream() generator inherits through
+    ShardedEngineCore: ragged host chunks, sharded device launches, and
+    the same canonical stream as the serial engine."""
+
+    def test_stream_matches_serial(self, mesh):
+        from go_audio_resampler_tpu.engine import EngineCore
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        sharded = parallel.ShardedEngineCore(plan, mesh, batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        x = np.random.default_rng(29).standard_normal((8, 5000))
+        got = np.concatenate(
+            list(sharded.stream([x[:, :1777], x[:, 1777:]])), axis=1)
+        serial = EngineCore(plan, batch=8, block=512, dtype=np.float64)
+        ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+    def test_stream_device_out_stays_sharded(self, mesh):
+        plan = plan_engine(44100, 48000, Quality.HIGH)
+        sharded = parallel.ShardedEngineCore(plan, mesh, batch_per_device=1,
+                                             block=512, dtype=np.float64)
+        mult = sharded.device_chunk_multiple
+        x = np.random.default_rng(31).standard_normal((8, 8 * mult))
+        outs = list(sharded.stream([x], out='device'))
+        assert all(isinstance(o, jax.Array) for o in outs)
+        big = [o for o in outs if o.shape[1] > 8]
+        assert big and all(len(o.sharding.device_set) == 8 for o in big)
