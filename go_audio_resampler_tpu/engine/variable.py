@@ -391,8 +391,14 @@ class VariableRateResampler:
             "internal: VR window outside histbuf"
         return idx, fr, va, n
 
-    def _run_blocks(self, blocks: np.ndarray, pos_limit: float) -> np.ndarray:
-        """Run K full blocks ([K, S, block]) in one device launch."""
+    def _run_blocks(self, blocks, pos_limit: float, out: str = 'host'):
+        """Run K full blocks ([K, S, block]) in one device launch.
+
+        ``out='host'`` downloads each block's valid prefix (sliced on
+        device first); ``out='device'`` concatenates the prefixes ON
+        DEVICE and returns one jax.Array — every slice bound comes from
+        the host-side closed-form walk, so nothing synchronizes.
+        """
         k = blocks.shape[0]
         walks = [self._walk_block(pos_limit) for _ in range(k)]
         ns = [w[3] for w in walks]
@@ -415,6 +421,11 @@ class VariableRateResampler:
             self._carry, self._pre_carry, coeffs, xs, idx, fr, va,
             factor=self.factor, span=span)
         self.samples_out += sum(ns)
+        if out == 'device':
+            slices = [ys[i, :, :ns[i]] for i in range(k) if ns[i]]
+            if not slices:
+                return self._put(jnp.zeros((self.batch, 0), self.dtype), 0)
+            return jnp.concatenate(slices, axis=1)
         # Slice each block's valid prefix ON DEVICE before transfer: the
         # [K, S, cap] scan output is mostly padding (cap sizes for the
         # max ratio), and downloading it whole costs more than the
@@ -478,6 +489,70 @@ class VariableRateResampler:
             [first[None],
              np.zeros((k - 1, self.batch, self.block), dtype=self.dtype)])
         return self._run_blocks(blocks, pos_limit)
+
+    # -- device-resident serving (zero host syncs) ------------------------
+
+    @property
+    def device_chunk_multiple(self) -> int:
+        """Input granularity for :meth:`process_device` (the VR block)."""
+        return self.block
+
+    def process_device(self, x) -> "jax.Array":
+        """Resample a chunk entirely on device; returns a ``jax.Array``.
+
+        The VR twin of EngineCore.process_device: although the output
+        count varies with the ratio trajectory, the closed-form anchored
+        walk computes every count and slice bound ON HOST — the device
+        program only evaluates sample values — so the wrapper never
+        synchronizes even mid-slew.  ``x`` is (or is uploaded to) a
+        ``[batch, k*block]`` device array; all k blocks run as one
+        launch and the valid prefixes are concatenated on device.
+        """
+        x = jnp.asarray(x, dtype=self.dtype)
+        if x.ndim == 1:
+            x = (jnp.broadcast_to(x, (self.batch, x.shape[0]))
+                 if self.batch > 1 else x[None, :])
+        if x.shape[0] != self.batch:
+            raise ValueError(f"expected batch {self.batch}, got {x.shape[0]}")
+        n = int(x.shape[1])
+        if self._hold.shape[1]:
+            raise RuntimeError(
+                "process_device: host-buffered input pending from a prior "
+                "process() call; feed block multiples there, or reset()")
+        if n % self.block:
+            raise ValueError(
+                f"process_device chunk width {n} is not a multiple of "
+                f"block={self.block}")
+        if n == 0:
+            return self._put(jnp.zeros((self.batch, 0), self.dtype), 0)
+        self.samples_in += n
+        self._in_fed += n
+        k = n // self.block
+        blocks = jnp.transpose(
+            x.reshape(self.batch, k, self.block), (1, 0, 2))
+        return self._run_blocks(blocks, math.inf, out='device')
+
+    def flush_device(self) -> "jax.Array":
+        """Drain remaining outputs on device (device twin of flush)."""
+        pos_limit = float(self.factor * self._in_fed + self._delay_u)
+        hold = self._hold
+        self._hold = np.zeros((self.batch, 0), dtype=self.dtype)
+        empty = self._put(jnp.zeros((self.batch, 0), self.dtype), 0)
+        if self._pos_at(self._k) >= pos_limit:
+            return empty
+        need_u = max(int(pos_limit) + 3 - self._u_fed, 0)
+        k = -(-need_u // (self.factor * self.block))
+        k = max(k, 1 if hold.shape[1] else 0)
+        if k == 0:
+            return empty
+        pad_first = self.block - hold.shape[1]
+        first = np.concatenate(
+            [hold, np.zeros((self.batch, pad_first), dtype=self.dtype)],
+            axis=1)
+        blocks = np.concatenate(
+            [first[None],
+             np.zeros((k - 1, self.batch, self.block), dtype=self.dtype)])
+        return self._run_blocks(blocks, pos_limit, out='device')
 
     # -- introspection ----------------------------------------------------
 

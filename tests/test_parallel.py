@@ -282,3 +282,31 @@ class TestShardedPipelinedStream:
         assert all(isinstance(o, jax.Array) for o in outs)
         big = [o for o in outs if o.shape[1] > 8]
         assert big and all(len(o.sharding.device_set) == 8 for o in big)
+
+
+class TestShardedVRDeviceMode:
+    """VR device mode inherits through ShardedVariableRateResampler:
+    outputs stay sharded, parity with the serial VR engine mid-slew."""
+
+    def test_sharded_vr_device_matches_serial(self, mesh):
+        from go_audio_resampler_tpu.engine.variable import (
+            VariableRateResampler)
+        rng = np.random.default_rng(53)
+        x = rng.standard_normal((8, 4 * 1024)) * 0.5
+
+        serial = VariableRateResampler(2.0, 0.9, batch=8, block=1024,
+                                       dtype=np.float64)
+        serial.set_io_ratio(1.2, slew_len=1500)
+        ref = np.concatenate([serial.process(x), serial.flush()], axis=1)
+
+        sh = parallel.ShardedVariableRateResampler(
+            2.0, 0.9, mesh=mesh, batch_per_device=1, block=1024,
+            dtype=np.float64)
+        sh.set_io_ratio(1.2, slew_len=1500)
+        y = sh.process_device(jnp.asarray(x))
+        t = sh.flush_device()
+        assert isinstance(y, jax.Array)
+        assert len(y.sharding.device_set) == 8
+        got = np.concatenate([np.asarray(y), np.asarray(t)], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)

@@ -206,3 +206,73 @@ class TestConstruction:
         vr = VariableRateResampler(2.0, 0.5, block=256)
         y = vr.process(np.zeros(512, dtype=np.float32))
         assert y.shape[0] == 1
+
+
+class TestDeviceMode:
+    """VR device-resident serving: the closed-form walk computes every
+    count/slice bound on host, so process_device/flush_device never
+    synchronize — even across a mid-stream slew."""
+
+    def _mk(self, **kw):
+        kw.setdefault("batch", 2)
+        kw.setdefault("block", 1024)
+        kw.setdefault("dtype", np.float64)
+        return VariableRateResampler(2.0, 0.9, **kw)
+
+    def test_parity_with_host_mid_slew(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(41)
+        x = rng.standard_normal((2, 6 * 1024)) * 0.5
+
+        host = self._mk()
+        host.set_io_ratio(1.3, slew_len=2000)
+        ref = np.concatenate([host.process(x), host.flush()], axis=1)
+
+        dev = self._mk()
+        dev.set_io_ratio(1.3, slew_len=2000)
+        got = np.concatenate(
+            [np.asarray(dev.process_device(jnp.asarray(x[:, :4096]))),
+             np.asarray(dev.process_device(jnp.asarray(x[:, 4096:]))),
+             np.asarray(dev.flush_device())], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+    def test_no_host_sync(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        dev = self._mk()
+        dev.set_io_ratio(1.1, slew_len=500)
+        x = jnp.asarray(np.random.default_rng(43)
+                        .standard_normal((2, 4 * 1024)))
+
+        def boom(*a, **k):
+            raise AssertionError("device->host transfer in device mode")
+        monkeypatch.setattr(jax.Array, "__array__", boom, raising=False)
+        y = dev.process_device(x)
+        t = dev.flush_device()
+        assert isinstance(y, jax.Array) and isinstance(t, jax.Array)
+
+    def test_contracts(self):
+        import jax.numpy as jnp
+        dev = self._mk()
+        with pytest.raises(ValueError, match="multiple"):
+            dev.process_device(jnp.zeros((2, 1000)))
+        assert dev.device_chunk_multiple == 1024
+        dev.process(np.zeros((2, 100)))       # host-buffered remainder
+        with pytest.raises(RuntimeError, match="pending"):
+            dev.process_device(jnp.zeros((2, 1024)))
+
+    def test_mixed_host_tail(self):
+        # Host remainder after device chunks: flush_device folds it in.
+        import jax.numpy as jnp
+        rng = np.random.default_rng(47)
+        x = rng.standard_normal((2, 3000)) * 0.5
+        host = self._mk()
+        ref = np.concatenate([host.process(x), host.flush()], axis=1)
+        dev = self._mk()
+        outs = [np.asarray(dev.process_device(jnp.asarray(x[:, :2048])))]
+        outs.append(dev.process(x[:, 2048:]))     # 952 < block: buffered
+        outs.append(np.asarray(dev.flush_device()))
+        got = np.concatenate([o for o in outs if o.size], axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
