@@ -276,3 +276,24 @@ class TestDeviceMode:
         got = np.concatenate([o for o in outs if o.size], axis=1)
         assert got.shape == ref.shape
         np.testing.assert_array_equal(got, ref)
+
+    def test_stream_generator_parity(self):
+        rng = np.random.default_rng(59)
+        x = rng.standard_normal((2, 5000)) * 0.5
+        host = self._mk()
+        host.set_io_ratio(1.15, slew_len=800)
+        ref = np.concatenate([host.process(x), host.flush()], axis=1)
+        dev = self._mk()
+        dev.set_io_ratio(1.15, slew_len=800)
+        got_list = list(dev.stream([x[:, :1333], x[:, 1333:4000],
+                                    x[:, 4000:]]))
+        got = np.concatenate(got_list, axis=1)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+    def test_stream_device_out(self):
+        import jax
+        dev = self._mk()
+        x = np.random.default_rng(61).standard_normal((2, 3 * 1024))
+        outs = list(dev.stream([x], out='device'))
+        assert outs and all(isinstance(o, jax.Array) for o in outs)
