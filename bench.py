@@ -295,6 +295,7 @@ def main() -> None:
         try:
             from go_audio_resampler_tpu.engine import streaming as _strm
             from go_audio_resampler_tpu.ops import pallas_fused as _pf
+            _prev_tier = os.environ.get("GAR_TPU_MATMUL_PRECISION")
             os.environ["GAR_TPU_MATMUL_PRECISION"] = "default"
             # The tier is read at TRACE time by both the step wrapper and
             # the Pallas kernel's own jit — clear both or the stale
@@ -310,7 +311,10 @@ def main() -> None:
                 _RESULT["slope_ingest_tier"] = round(
                     slope(mins_i, "ingest"), 1)
             finally:
-                del os.environ["GAR_TPU_MATMUL_PRECISION"]
+                if _prev_tier is None:
+                    os.environ.pop("GAR_TPU_MATMUL_PRECISION", None)
+                else:
+                    os.environ["GAR_TPU_MATMUL_PRECISION"] = _prev_tier
                 _strm._step_rational_fused.clear_cache()
                 _pf.fused_resample_pallas.clear_cache()
         except Exception as e:

@@ -186,19 +186,24 @@ def main() -> None:
 
     # 6b. the same serving step on the opt-in 3-bf16-pass matmul tier
     # (GAR_TPU_MATMUL_PRECISION=high; THD -117 dB, see doc.md "Numerical
-    # behavior").  Reduced tiers auto-route to the XLA lowering
-    # (pallas_fused.dispatch_allowed gates the kernels to HIGHEST).
+    # behavior").  The HIGH tier auto-routes to the XLA lowering — the
+    # kernel's hand-rolled bf16x3 limb split loses the hardware A/B
+    # (pallas_fused.dispatch_allowed closes the gate at HIGH only).
     if wanted("streaming_fused_step_fast_tier"):
         from go_audio_resampler_tpu.engine import streaming as _strm
+        _prev_tier = os.environ.get("GAR_TPU_MATMUL_PRECISION")
         os.environ["GAR_TPU_MATMUL_PRECISION"] = "high"
         _strm._step_rational_fused.clear_cache()
         try:
             results["streaming_fused_step_fast_tier"] = fused_step_slope()
         finally:
-            del os.environ["GAR_TPU_MATMUL_PRECISION"]
+            if _prev_tier is None:
+                os.environ.pop("GAR_TPU_MATMUL_PRECISION", None)
+            else:
+                os.environ["GAR_TPU_MATMUL_PRECISION"] = _prev_tier
             _strm._step_rational_fused.clear_cache()
 
-    # 6b. 1-pass bf16 ingest tier (GAR_TPU_MATMUL_PRECISION=default):
+    # 6c. 1-pass bf16 ingest tier (GAR_TPU_MATMUL_PRECISION=default):
     # the Pallas DMA-framing kernel wins this tier decisively (the
     # matmul shrinks until XLA's gather+einsum is framing-bound), so
     # the auto dispatch takes it — measured THD -70.6 dB (bf16 noise
@@ -209,6 +214,7 @@ def main() -> None:
     if wanted("streaming_fused_step_ingest_tier"):
         from go_audio_resampler_tpu.engine import streaming as _strm
         from go_audio_resampler_tpu.ops import pallas_fused as _pf
+        _prev_tier = os.environ.get("GAR_TPU_MATMUL_PRECISION")
         os.environ["GAR_TPU_MATMUL_PRECISION"] = "default"
         # Clear the kernel's own jit too: the tier is read at trace time
         # and a full-matrix run has already traced it at HIGHEST.
@@ -218,7 +224,10 @@ def main() -> None:
             results["streaming_fused_step_ingest_tier"] = \
                 fused_step_slope(n_steps=512)
         finally:
-            del os.environ["GAR_TPU_MATMUL_PRECISION"]
+            if _prev_tier is None:
+                os.environ.pop("GAR_TPU_MATMUL_PRECISION", None)
+            else:
+                os.environ["GAR_TPU_MATMUL_PRECISION"] = _prev_tier
             _strm._step_rational_fused.clear_cache()
             _pf.fused_resample_pallas.clear_cache()
 

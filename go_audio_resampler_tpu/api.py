@@ -586,22 +586,37 @@ class Resampler:
         mid-flight).  ``out='device'`` yields ``jax.Array`` without
         downloading (fused device-mode chains only).
         """
+        # Validate EAGERLY (this is not the generator): a bad call fails
+        # at call time, not at the first next().
+        if out not in ('host', 'device'):
+            raise ValueError(f"out must be 'host' or 'device', got {out!r}")
         self._check_not_flushed()
         if self._out_queue.shape[1]:
             raise ResamplerError(
                 "host-queued output pending from a prior process call; "
                 "drain it via process_multi first, or reset()")
-        if len(self._exec) == 1 and isinstance(self._exec[0], EngineCore):
+        fused = (len(self._exec) == 1
+                 and isinstance(self._exec[0], EngineCore))
+        if not fused and out == 'device':
+            self._device_engine()     # raises the diagnostic error
+        return self._stream_multi_gen(chunks, out, fused)
+
+    def _stream_multi_gen(self, chunks, out: str, fused: bool):
+        def _check(x) -> np.ndarray:
+            x = np.asarray(x, dtype=self.dtype)
+            if x.ndim != 2 or x.shape[0] != self.config.channels:
+                raise InvalidConfigError(
+                    f"expected [channels={self.config.channels}, n] "
+                    f"chunks, got shape {x.shape}")
+            return x
+
+        if fused:
             eng = self._exec[0]
             self._enter('multi')
 
             def _feed():
                 for x in chunks:
-                    x = np.asarray(x, dtype=self.dtype)
-                    if x.ndim != 2 or x.shape[0] != self.config.channels:
-                        raise InvalidConfigError(
-                            f"expected [channels={self.config.channels}, n] "
-                            f"chunks, got shape {x.shape}")
+                    x = _check(x)
                     self.samples_in += x.shape[1]
                     yield x
 
@@ -610,16 +625,9 @@ class Resampler:
                 yield y
             self._flushed = True
             return
-        if out == 'device':
-            self._device_engine()     # raises the diagnostic error
         self._enter('multi')
         for x in chunks:
-            x = np.asarray(x, dtype=self.dtype)
-            if x.ndim != 2 or x.shape[0] != self.config.channels:
-                raise InvalidConfigError(
-                    f"expected [channels={self.config.channels}, n] "
-                    f"chunks, got shape {x.shape}")
-            y = np.stack(self.process_multi(list(x)))
+            y = np.stack(self.process_multi(list(_check(x))))
             if y.shape[1]:
                 yield y
         tail = np.stack(self.flush_multi())

@@ -162,12 +162,38 @@ def run_batch(args, preset) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for CLI runs.
+
+    Remote/tunnel TPU compiles can take minutes; repeat conversions at
+    the same rates/quality/channel count hit the on-disk cache instead.
+    Location: $GAR_JAX_CACHE_DIR, else ~/.cache/go_audio_resampler_tpu/jax
+    (set GAR_JAX_CACHE_DIR= empty to disable)."""
+    import os
+
+    cache = os.environ.get(
+        "GAR_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "go_audio_resampler_tpu", "jax"))
+    if not cache:
+        return
+    try:
+        import jax
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # Normalize -bits: "0" = match input (falsy), "32f" = IEEE float32
     # (passed through to WavWriter as-is), else integer PCM depth.
     args.bits = (0 if args.bits == "0"
                  else args.bits if args.bits == "32f" else int(args.bits))
+    _enable_compile_cache()
 
     from ..api import QualityPreset
     from ..convenience import preset_to_engine_quality
@@ -232,7 +258,7 @@ def run(argv=None) -> int:
         writer = WavWriter(args.output, int(out_rate), channels, bits)
 
         t0 = time.perf_counter()
-        progress = {"frames": 0, "next_pct": 10}
+        progress = {"frames": 0}
 
         def _chunks():
             # Generator feeding EngineCore.stream: decode of chunk k+1 and
@@ -244,15 +270,23 @@ def run(argv=None) -> int:
                 if block.shape[0] == 0:
                     return
                 progress["frames"] += block.shape[0]
-                if reader.num_frames:
-                    pct = 100 * progress["frames"] // reader.num_frames
-                    while args.v and pct >= progress["next_pct"]:
-                        print(f"  {progress['next_pct']}%")
-                        progress["next_pct"] += 10
                 yield np.ascontiguousarray(block.T).astype(dtype)
 
+        # Progress tracks WRITTEN output (decode runs ahead of compute in
+        # the pipelined loop, so input-side progress would hit 100% while
+        # the tail is still computing).
+        out_total = (int(reader.num_frames * out_rate / in_rate)
+                     if reader.num_frames else 0)
+        written = 0
+        next_pct = 10
         for y in engine.stream(_chunks()):
             writer.write(y.T)                        # [n_out, ch]
+            written += y.shape[1]
+            if args.v and out_total:
+                pct = min(100 * written // out_total, 100)
+                while pct >= next_pct and next_pct <= 100:
+                    print(f"  {next_pct}%")
+                    next_pct += 10
         frames_done = progress["frames"]
         writer.close()
         reader.close()

@@ -223,6 +223,58 @@ def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
     return min(marginal, key=marginal.get)
 
 
+def pipelined_stream(eng, chunks, out: str, granule: int):
+    """Shared pipelined-stream protocol (EngineCore.stream and the
+    variable-rate twin both delegate here — one copy of the carve /
+    one-chunk-lag / remainder logic).
+
+    ``eng`` provides ``batch``/``dtype``/``process_device``/``process``/
+    ``flush_device``.  Input chunks of any widths are carved into
+    ``granule`` multiples; the download of chunk k is deferred until
+    chunk k+1 has been dispatched (JAX dispatch is async), so transfer
+    rides under compute.  A sub-granule remainder goes through the host
+    ``process`` path — anything it emits (possible when prior host input
+    was already buffered, or when the granule exceeds the host block) is
+    yielded in order, and ``flush_device`` folds the rest into the tail.
+    """
+    if out not in ('host', 'device'):
+        raise ValueError(f"out must be 'host' or 'device', got {out!r}")
+
+    def _norm(x) -> np.ndarray:
+        x = np.asarray(x, dtype=eng.dtype)
+        if x.ndim == 1:
+            x = (np.broadcast_to(x, (eng.batch, x.shape[0]))
+                 if eng.batch > 1 else x[None, :])
+        return x
+
+    def _pop(pend):
+        return np.asarray(pend) if out == 'host' else pend
+
+    pend = None                              # dispatched, not downloaded
+    buf = np.zeros((eng.batch, 0), eng.dtype)
+    for x in chunks:
+        buf = np.concatenate([buf, _norm(x)], axis=1)
+        n = (buf.shape[1] // granule) * granule
+        if not n:
+            continue
+        y = eng.process_device(jnp.asarray(buf[:, :n]))
+        buf = buf[:, n:]
+        if pend is not None and pend.shape[1]:
+            yield _pop(pend)                 # overlaps y's device work
+        pend = y
+    if buf.shape[1]:
+        got = eng.process(buf)
+        if got.shape[1]:
+            if pend is not None and pend.shape[1]:
+                yield _pop(pend)
+            pend = jnp.asarray(got) if out == 'device' else got
+    tail = eng.flush_device()
+    if pend is not None and pend.shape[1]:
+        yield _pop(pend)
+    if tail.shape[1]:
+        yield _pop(tail)
+
+
 class EngineCore:
     """Stateful streaming resampler over a batch of independent streams.
 
@@ -968,44 +1020,7 @@ class EngineCore:
                 yield tail
             return
 
-        def _norm(x) -> np.ndarray:
-            x = np.asarray(x, dtype=self.dtype)
-            if x.ndim == 1:
-                x = (np.broadcast_to(x, (self.batch, x.shape[0]))
-                     if self.batch > 1 else x[None, :])
-            return x
-
-        def _pop(pend):
-            return np.asarray(pend) if out == 'host' else pend
-
-        pend = None                              # dispatched, not downloaded
-        buf = np.zeros((self.batch, 0), self.dtype)
-        for x in chunks:
-            buf = np.concatenate([buf, _norm(x)], axis=1)
-            n = (buf.shape[1] // mult) * mult
-            if not n:
-                continue
-            y = self.process_device(jnp.asarray(buf[:, :n]))
-            buf = buf[:, n:]
-            if pend is not None and pend.shape[1]:
-                yield _pop(pend)                 # overlaps y's device work
-            pend = y
-        if buf.shape[1]:
-            # Sub-granule remainder: hand it to the host accumulator;
-            # flush_device folds the pending input into the tail.  When
-            # the granule is smaller than the host block (the usual case)
-            # nothing computes here, but a granule larger than the block
-            # can emit host output — keep the stream ordered either way.
-            got = self.process(buf)
-            if got.shape[1]:
-                if pend is not None and pend.shape[1]:
-                    yield _pop(pend)
-                pend = jnp.asarray(got) if out == 'device' else got
-        tail = self.flush_device()
-        if pend is not None and pend.shape[1]:
-            yield _pop(pend)
-        if tail.shape[1]:
-            yield _pop(tail)
+        yield from pipelined_stream(self, chunks, out, mult)
 
     def _flush_extra_limit(self) -> int:
         """Max extra zero blocks flush may legally need (exact holdback).

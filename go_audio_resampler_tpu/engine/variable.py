@@ -562,37 +562,15 @@ class VariableRateResampler:
         resampled stream ending with the flush tail.  ``out='device'``
         yields ``jax.Array`` without downloading.  Ratio changes via
         :meth:`set_io_ratio` between pulls apply from the next chunk.
+
+        One shared protocol implementation serves both engines
+        (streaming.pipelined_stream) — including the ordered yield of
+        anything the sub-block remainder emits when host input was
+        already buffered before the stream started.
         """
-        if out not in ('host', 'device'):
-            raise ValueError(f"out must be 'host' or 'device', got {out!r}")
+        from .streaming import pipelined_stream
 
-        def _pop(p):
-            return np.asarray(p) if out == 'host' else p
-
-        pend = None
-        buf = np.zeros((self.batch, 0), self.dtype)
-        for x in chunks:
-            x = np.asarray(x, dtype=self.dtype)
-            if x.ndim == 1:
-                x = (np.broadcast_to(x, (self.batch, x.shape[0]))
-                     if self.batch > 1 else x[None, :])
-            buf = np.concatenate([buf, x], axis=1)
-            n = (buf.shape[1] // self.block) * self.block
-            if not n:
-                continue
-            y = self.process_device(jnp.asarray(buf[:, :n]))
-            buf = buf[:, n:]
-            if pend is not None and pend.shape[1]:
-                yield _pop(pend)
-            pend = y
-        if buf.shape[1]:
-            got = self.process(buf)       # sub-block: host-buffered only
-            assert got.shape[1] == 0
-        tail = self.flush_device()
-        if pend is not None and pend.shape[1]:
-            yield _pop(pend)
-        if tail.shape[1]:
-            yield _pop(tail)
+        yield from pipelined_stream(self, chunks, out, self.block)
 
     # -- introspection ----------------------------------------------------
 

@@ -97,29 +97,41 @@ def resample(waveform, orig_freq: float, new_freq: float,
              beta: float | None = None, *,
              quality: QualityPreset = QualityPreset.HIGH):
     """torchaudio.functional.resample signature over this engine."""
-    torch = _torch()
     _validate(orig_freq, new_freq, lowpass_filter_width, rolloff,
               resampling_method)
+    if float(orig_freq) == float(new_freq):
+        torch = _torch()
+        if not isinstance(waveform, torch.Tensor):
+            raise TypeError(
+                f"expected a torch.Tensor, got {type(waveform)!r}")
+        return waveform
+    plan = plan_engine(float(orig_freq), float(new_freq),
+                       preset_to_engine_quality(quality))
+    return _apply(waveform, plan, float(orig_freq), float(new_freq))
+
+
+def _apply(waveform, plan, orig_freq: float, new_freq: float):
+    """Run a prebuilt plan over a torch waveform ([..., time])."""
+    torch = _torch()
     if not isinstance(waveform, torch.Tensor):
         raise TypeError(f"expected a torch.Tensor, got {type(waveform)!r}")
     if not waveform.is_floating_point():
         raise TypeError(
             f"expected a float waveform, got {waveform.dtype} "
             "(torchaudio's resample also requires floating point)")
-    if float(orig_freq) == float(new_freq):
-        return waveform
     lead = waveform.shape[:-1]
     n = waveform.shape[-1]
-    n_out = int(math.ceil(n * float(new_freq) / float(orig_freq)))
+    n_out = int(math.ceil(n * new_freq / orig_freq))
     if n == 0:
         return waveform.new_zeros(lead + (0,))
+    x = waveform.detach().cpu()
+    if x.dtype not in (torch.float32, torch.float64):
+        # half / bfloat16 have no numpy counterpart torch will export;
+        # compute at float32 (>= their precision), cast back on return.
+        x = x.float()
     # torch CPU tensors share memory with numpy: the flatten/upload is the
     # only copy on the way in.
-    x_np = (waveform.detach().cpu().contiguous().reshape(-1, n).numpy())
-    if x_np.dtype not in (np.float32, np.float64):
-        x_np = x_np.astype(np.float32)
-    plan = plan_engine(float(orig_freq), float(new_freq),
-                       preset_to_engine_quality(quality))
+    x_np = x.contiguous().reshape(-1, n).numpy()
     y = np.ascontiguousarray(_run(x_np, plan, n_out))
     if not y.flags.writeable:
         y = y.copy()       # torch tensors must not alias read-only buffers
@@ -162,10 +174,7 @@ class Resample:
                 f"expected a torch.Tensor, got {type(waveform)!r}")
         if self._plan is None:
             return waveform
-        y = resample(waveform, self.orig_freq, self.new_freq,
-                     self.lowpass_filter_width, self.rolloff,
-                     self.resampling_method, self.beta,
-                     quality=self.quality)
+        y = _apply(waveform, self._plan, self.orig_freq, self.new_freq)
         if self._dtype is not None:
             y = y.to(self._dtype)
         return y

@@ -369,3 +369,25 @@ class TestPipelinedStream:
                 quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
                 dtype=np.float64))
             list(r3.stream_multi([x], out='device'))
+
+    @staticmethod
+    def _mk_public(inr=44100.0, outr=48000.0):
+        return gar.new_resampler(gar.Config(
+            inr, outr, channels=2,
+            quality=gar.get_preset_spec(gar.QualityPreset.HIGH)))
+
+    def test_stream_multi_validates_eagerly(self):
+        # Not a generator surprise: bad arguments fail at CALL time.
+        r = self._mk_public()
+        with pytest.raises(ValueError, match="out must be"):
+            r.stream_multi([], out="Device")
+        r2 = self._mk_public()
+        r2.flush_multi()
+        with pytest.raises(gar.ResamplerError, match="flush"):
+            r2.stream_multi([])
+
+    def test_stream_multi_unfused_bad_out_raises(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_FUSE_PIPELINE", "0")
+        r = self._mk_public(48000.0, 22050.0)
+        with pytest.raises(ValueError, match="out must be"):
+            r.stream_multi([], out="dev")

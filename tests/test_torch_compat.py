@@ -137,3 +137,18 @@ class TestQuality:
         f = np.fft.rfftfreq(seg.size, 1 / 48000)[
             np.argmax(np.abs(np.fft.rfft(seg * w)))]
         assert abs(f - 1000.0) < 2.0, f
+
+
+class TestHalfPrecision:
+
+    @pytest.mark.parametrize("dt", [torch.bfloat16, torch.float16])
+    def test_half_dtypes_compute_at_f32(self, dt):
+        # Round-4 review: bf16/f16 tensors have no torch->numpy export;
+        # the shim must compute at float32 and cast back.
+        x32 = (RNG.standard_normal((2, 2000)) * 0.5).astype(np.float32)
+        x = torch.from_numpy(x32).to(dt)
+        y = F.resample(x, 44100, 48000)
+        assert y.dtype == dt and y.shape == (2, 2177)
+        ref = F.resample(x.float(), 44100, 48000)
+        err = (y.float() - ref).abs().max().item()
+        assert err < (0.02 if dt == torch.bfloat16 else 0.002), err

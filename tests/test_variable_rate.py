@@ -297,3 +297,20 @@ class TestDeviceMode:
         x = np.random.default_rng(61).standard_normal((2, 3 * 1024))
         outs = list(dev.stream([x], out='device'))
         assert outs and all(isinstance(o, jax.Array) for o in outs)
+
+    def test_stream_with_prebuffered_host_input(self):
+        # Round-4 review: a sub-block hold + sub-block chunks that
+        # together cross a block boundary made the old VR stream assert
+        # (or silently drop output under -O).  The shared protocol
+        # yields whatever the remainder emits, in order.
+        host = self._mk()
+        x = np.random.default_rng(67).standard_normal((2, 1100)) * 0.5
+        ref = np.concatenate(
+            [host.process(x[:, :100]), host.process(x[:, 100:]),
+             host.flush()], axis=1)
+        dev = self._mk()
+        got0 = dev.process(x[:, :100])        # 100 < block: buffered
+        assert got0.shape[1] == 0
+        got = np.concatenate(list(dev.stream([x[:, 100:]])), axis=1)
+        assert got.shape[1] == ref.shape[1]
+        np.testing.assert_array_equal(got, ref)

@@ -169,9 +169,28 @@ def main() -> int:
     # the DOCUMENTED quality of the fast serving tier (doc.md "Numerical
     # behavior": ~-117 dB THD) so a kernel/limb-split regression that
     # degrades it below ~19-bit quality fails the round.
+    # The tier is read at trace time by BOTH the one-shot wrapper and
+    # the Pallas kernel's own jit; clear both around each flip or a
+    # stale trace from an earlier section is silently reused (the
+    # kernel is reachable at the DEFAULT tier since the gate opened).
+    from go_audio_resampler_tpu.ops import pallas_fused as pf
+
+    def _tier_clear():
+        osm._oneshot_jit.clear_cache()
+        pf.fused_resample_pallas.clear_cache()
+
+    _tier_prev = _os.environ.get('GAR_TPU_MATMUL_PRECISION')
+
+    def _tier_restore():
+        if _tier_prev is None:
+            _os.environ.pop('GAR_TPU_MATMUL_PRECISION', None)
+        else:
+            _os.environ['GAR_TPU_MATMUL_PRECISION'] = _tier_prev
+        _tier_clear()
+
     print("Fast matmul tier (bf16x3) on device output:")
     _os.environ['GAR_TPU_MATMUL_PRECISION'] = 'high'
-    osm._oneshot_jit.clear_cache()
+    _tier_clear()
     try:
         plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
         y = run(plan, signals.sine(N, 1000.0, 44100))
@@ -179,16 +198,15 @@ def main() -> int:
         record("thd_44k_48k_high_fast_tier_db", round(val, 2), val <= -110.0,
                "floor -110 (documented ~-117; opt-in tier, not a preset)")
     finally:
-        del _os.environ['GAR_TPU_MATMUL_PRECISION']
-        osm._oneshot_jit.clear_cache()
+        _tier_restore()
 
     # --- opt-in 1-pass ingest tier (GAR_TPU_MATMUL_PRECISION=default) ----
-    # The bf16 ML-ingest tier (68.5 Gs/s serving step, doc.md): pin its
+    # The bf16 ML-ingest tier (72.4 Gs/s serving step, doc.md): pin its
     # DOCUMENTED quality (~-70 dB THD) so a kernel change that degrades
     # it below bf16-rounding quality fails the round.
     print("Ingest matmul tier (1-pass bf16) on device output:")
     _os.environ['GAR_TPU_MATMUL_PRECISION'] = 'default'
-    osm._oneshot_jit.clear_cache()
+    _tier_clear()
     try:
         plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
         y = run(plan, signals.sine(N, 1000.0, 44100))
@@ -197,8 +215,7 @@ def main() -> int:
                val <= -65.0,
                "floor -65 (documented ~-70.6; opt-in tier, not a preset)")
     finally:
-        del _os.environ['GAR_TPU_MATMUL_PRECISION']
-        osm._oneshot_jit.clear_cache()
+        _tier_restore()
 
     out = pathlib.Path(args.out)
     out.write_text(json.dumps(results, indent=2) + "\n")
