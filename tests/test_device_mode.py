@@ -391,3 +391,13 @@ class TestPipelinedStream:
         r = self._mk_public(48000.0, 22050.0)
         with pytest.raises(ValueError, match="out must be"):
             r.stream_multi([], out="dev")
+
+    def test_stream_with_pending_host_input_fails_loudly(self):
+        # Pre-buffered sub-block host input + chunks that DO carve a
+        # device granule: the device step refuses (documented contract:
+        # feed block multiples or reset) rather than corrupting counts.
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float64)
+        eng.process(np.zeros((1, 100)))
+        with pytest.raises(RuntimeError, match="pending"):
+            list(eng.stream([np.zeros((1, 600))]))
