@@ -169,6 +169,13 @@ class Config:
     # extra compile).  The Pallas/XLA ordering flips between machines at
     # the exact-f32 tier (doc.md "Numerical behavior").
     dispatch: str = 'auto'
+    # TPU-native extension: matmul precision tier per resampler for the
+    # fused banded serving steps — 'auto' (process-global
+    # GAR_TPU_MATMUL_PRECISION), 'highest' (exact f32, 6 bf16 passes),
+    # 'high' (3-pass, ~-117 dB THD), 'default' (1-pass bf16 ingest
+    # tier, ~-70 dB THD at 3.5x throughput).  Part of the step's static
+    # jit key, so engines on different tiers coexist in one process.
+    precision: str = 'auto'
 
     def validate(self) -> None:
         """resample.go:168-191."""
@@ -184,6 +191,10 @@ class Config:
             raise InvalidConfigError(
                 f"dispatch must be auto|pallas|xla|tune, "
                 f"got {self.dispatch!r}")
+        if self.precision not in ('auto', 'highest', 'high', 'default'):
+            raise InvalidConfigError(
+                f"precision must be auto|highest|high|default, "
+                f"got {self.precision!r}")
         ratio = self.output_rate / self.input_rate
         if ratio < MIN_RATIO or ratio > MAX_RATIO:
             raise InvalidConfigError(
@@ -270,7 +281,8 @@ class StubEngine:
 
 
 def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
-                  strict_antialias: bool = False, dispatch: str = 'auto'):
+                  strict_antialias: bool = False, dispatch: str = 'auto',
+                  precision: str = 'auto'):
     """Create the sub-engine realizing a StageSpec (stages.go:21-119).
 
     Half-band stages are polyphase engines with factor 2 (stages.go:31-44);
@@ -282,7 +294,7 @@ def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
     if spec.type == StageType.CUBIC:
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, EngineQuality.QUICK)
         return EngineCore(plan, batch=channels, block=block, dtype=dtype,
-                          dispatch=dispatch)
+                          dispatch=dispatch, precision=precision)
     q = precision_to_engine_quality(spec.quality)
     try:
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, q,
@@ -290,7 +302,7 @@ def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
     except (ValueError, ZeroDivisionError):
         return StubEngine(spec.ratio, channels, dtype)
     return EngineCore(plan, batch=channels, block=block, dtype=dtype,
-                      dispatch=dispatch)
+                      dispatch=dispatch, precision=precision)
 
 
 class Resampler:
@@ -340,7 +352,7 @@ class Resampler:
                                & QualityFlags.ALLOW_ALIASING))
         self._engines = [
             _stage_engine(spec, config.channels, block, self.dtype,
-                          strict, config.dispatch)
+                          strict, config.dispatch, config.precision)
             for spec in self.pipeline.stages]
         if not self._engines:
             # ratio within tolerance of 1.0: identity pipeline
@@ -402,7 +414,8 @@ class Resampler:
                     fused_seg = (EngineCore(
                         bplan, batch=self.config.channels, block=block,
                         dtype=self.dtype,
-                        dispatch=self.config.dispatch), j)
+                        dispatch=self.config.dispatch,
+                        precision=self.config.precision), j)
                     break
             if fused_seg is not None:
                 exec_chain.append(fused_seg[0])

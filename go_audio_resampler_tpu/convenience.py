@@ -94,12 +94,14 @@ class _SimpleBase:
 
     def __init__(self, input_rate: float, output_rate: float,
                  quality: QualityPreset, block: int = 2048, batch: int = 1,
-                 strict_antialias: bool = False, dispatch: str = 'auto'):
+                 strict_antialias: bool = False, dispatch: str = 'auto',
+                 precision: str = 'auto'):
         engine_quality = preset_to_engine_quality(quality)
         self.plan = plan_engine(float(input_rate), float(output_rate),
                                 engine_quality, strict_antialias)
         self.engine = EngineCore(self.plan, batch=batch, block=block,
-                                 dtype=self._dtype, dispatch=dispatch)
+                                 dtype=self._dtype, dispatch=dispatch,
+                                 precision=precision)
         self._out_queue = np.zeros(0, dtype=self._dtype)
 
     def _take(self, fresh: np.ndarray, limit: int | None) -> np.ndarray:

@@ -74,7 +74,8 @@ def _step_decim(coeffs, state, x, factor):
     return st, y, n
 
 
-def _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
+def _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch='auto',
+                       precision='auto'):
     """Shared pure body of the fused banded-matmul streaming steps.
 
     Gathers period-aligned frames from [carry ++ block] and applies the
@@ -92,17 +93,24 @@ def _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
     b = x.shape[1]
     n_frames = b // ipx
     data = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
-    y = _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames, dispatch)
+    y = _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames, dispatch,
+                             precision)
     return data[:, b:], y, I32(n_frames * p2)
 
 
 def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames,
-                         dispatch: str = 'auto'):
-    """Windows at j*ipx of width wx times r_t [wx, p2] -> [S, F*p2]."""
+                         dispatch: str = 'auto', precision: str = 'auto'):
+    """Windows at j*ipx of width wx times r_t [wx, p2] -> [S, F*p2].
+
+    ``precision`` is the per-engine matmul tier pin ('auto' = the
+    process-global GAR_TPU_MATMUL_PRECISION, read at trace time); it
+    selects both the dot precision and the tier-aware dispatch gate.
+    """
     from ..ops import pallas_fused as pf
 
     s = data.shape[0]
-    if pf.dispatch_for(dispatch) and data.dtype == jnp.float32:
+    tier = None if precision == 'auto' else precision
+    if pf.dispatch_for(dispatch, tier) and data.dtype == jnp.float32:
         tf = pf.frame_tile_for(p2)
         ts = (pf.choose_stream_tile(ipx, wx, p2, tf, s)
               if wx - ipx < tf * ipx else 0)
@@ -123,13 +131,14 @@ def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames,
                 xk = jnp.pad(xk, ((0, s_pad - s), (0, 0)))
             y = pf.fused_resample_pallas(xk, r_t.astype(jnp.float32),
                                          ipx=ipx, wx=wx, p2=p2, ts=ts,
-                                         min_frames=n_frames)
+                                         min_frames=n_frames,
+                                         precision=precision)
             return y[:s, :n_frames * p2]
     starts = lax.iota(jnp.int32, n_frames) * I32(ipx)
     frames = stages.gather_windows(data, starts, wx)
     y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(data.dtype),
                    preferred_element_type=data.dtype,
-                   precision=dot_precision())
+                   precision=dot_precision(tier))
     return y.reshape(s, n_frames * p2)
 
 
@@ -152,9 +161,11 @@ def _fft_decim_step(coeffs_np, factor: int, carry, x):
     return data[:, b:], y, I32(n_frames)
 
 
-@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'dispatch'),
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'dispatch',
+                                   'precision'),
          donate_argnames=('carry',))
-def _step_decim_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
+def _step_decim_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto',
+                      precision='auto'):
     """Fused streaming decimation: banded frames-matmul per block.
 
     carry holds the last T-1 input samples (zeros-init); every step emits
@@ -163,7 +174,8 @@ def _step_decim_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
     needed.  Replaces the strided convolution, which XLA:TPU lowers poorly
     for long audio kernels.
     """
-    return _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch)
+    return _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch,
+                              precision)
 
 
 @partial(jax.jit, static_argnames=('factor', 'num_phases', 'taps', 'step_hi',
@@ -178,9 +190,11 @@ def _step_two_stage(pre_coeffs, banks, state, x, factor, num_phases, taps,
     return (pre_state, poly_state), y, n
 
 
-@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'dispatch'),
+@partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'dispatch',
+                                   'precision'),
          donate_argnames=('carry',))
-def _step_rational_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
+def _step_rational_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto',
+                         precision='auto'):
     """Fused streaming step for exact-rational two-stage plans.
 
     The whole cascade is one periodic banded operator (see
@@ -192,7 +206,8 @@ def _step_rational_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto'):
     convolution ramp; the wrapper drops them (same mechanism as the
     single-stage DFT topology).
     """
-    return _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch)
+    return _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch,
+                              precision)
 
 
 def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
@@ -304,16 +319,29 @@ class EngineCore:
     SCAN_BLOCKS = 8
 
     def __init__(self, plan: EnginePlan, batch: int = 1, block: int = 2048,
-                 dtype=jnp.float32, dispatch: str = 'auto'):
-        from ..ops.pallas_fused import DISPATCH_MODES
+                 dtype=jnp.float32, dispatch: str = 'auto',
+                 precision: str = 'auto'):
+        from ..ops.pallas_fused import DISPATCH_MODES, PRECISION_MODES
         if dispatch not in DISPATCH_MODES and dispatch != 'tune':
             raise ValueError(
                 f"dispatch must be one of {DISPATCH_MODES + ('tune',)}, "
                 f"got {dispatch!r}")
+        if precision not in PRECISION_MODES:
+            raise ValueError(
+                f"precision must be one of {PRECISION_MODES}, "
+                f"got {precision!r}")
         self.plan = plan
         self.batch = batch
         self.block = block
         self.dispatch = dispatch
+        #: Per-engine matmul tier for the fused banded steps ('auto' =
+        #: the process-global GAR_TPU_MATMUL_PRECISION): two engines in
+        #: one process can serve different tiers (exact-f32 quality vs
+        #: the 1-pass bf16 ingest tier) without cache clears — the tier
+        #: is part of the step's static jit key.  Scope: the banded
+        #: serving steps (rational/decimate/banded composite); the
+        #: non-banded topologies follow the process-global tier.
+        self.precision = precision
         self.dtype = jnp.dtype(dtype)
         self._build_constants()
         if dispatch == 'tune':
@@ -555,17 +583,17 @@ class EngineCore:
             rt, ipx, wx, p2 = (self._decim_rt, self._decim_ipx,
                                self._decim_wx, self._decim_p2)
             return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2,
-                           dispatch=self.dispatch)
+                           dispatch=self.dispatch, precision=self.precision)
         if p.kind == 'banded':
             rt, ipx, wx, p2 = (self._banded_rt, self._banded_ipx,
                                self._banded_wx, self._banded_p2)
             return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2,
-                           dispatch=self.dispatch)
+                           dispatch=self.dispatch, precision=self.precision)
         if self.rational_fused:
             rt, ipx, wx, p2 = (self._rational_rt, self._rational_ipx,
                                self._rational_wx, self._rational_p2)
             return partial(_fused_banded_step, rt, ipx=ipx, wx=wx, p2=p2,
-                           dispatch=self.dispatch)
+                           dispatch=self.dispatch, precision=self.precision)
         coeffs, banks = self.pre_coeffs, self.banks
         f, L, t2 = p.factor, p.num_phases, p.poly_taps
         s_hi, s_lo, cap = p.step_hi, p.step_lo, self.poly_cap
@@ -597,17 +625,17 @@ class EngineCore:
             return lambda state, x: _step_decim_fused(
                 self._decim_rt, state, x, ipx=self._decim_ipx,
                 wx=self._decim_wx, p2=self._decim_p2,
-                dispatch=self.dispatch)
+                dispatch=self.dispatch, precision=self.precision)
         if p.kind == 'banded':
             return lambda state, x: _step_rational_fused(
                 self._banded_rt, state, x, ipx=self._banded_ipx,
                 wx=self._banded_wx, p2=self._banded_p2,
-                dispatch=self.dispatch)
+                dispatch=self.dispatch, precision=self.precision)
         if self.rational_fused:
             return lambda state, x: _step_rational_fused(
                 self._rational_rt, state, x, ipx=self._rational_ipx,
                 wx=self._rational_wx, p2=self._rational_p2,
-                dispatch=self.dispatch)
+                dispatch=self.dispatch, precision=self.precision)
         return lambda state, x: _step_two_stage(
             self.pre_coeffs, self.banks, state, x, factor=p.factor,
             num_phases=p.num_phases, taps=p.poly_taps, step_hi=p.step_hi,

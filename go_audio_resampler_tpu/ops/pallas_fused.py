@@ -73,15 +73,26 @@ _PRECISION_TIERS = {
 }
 
 
-def dot_precision() -> lax.Precision:
-    """Precision for the banded-matmul hot paths (see _PRECISION_TIERS)."""
+#: Per-engine tier names: 'auto' defers to the process-global env var.
+PRECISION_MODES = ('auto', 'highest', 'high', 'default')
+
+
+def dot_precision(tier: str | None = None) -> lax.Precision:
+    """Precision for the banded-matmul hot paths (see _PRECISION_TIERS).
+
+    ``tier`` is an explicit per-call-site pin ('highest'/'high'/
+    'default'); ``None`` (or 'auto') reads the process-global
+    ``GAR_TPU_MATMUL_PRECISION`` at trace time.
+    """
     import os
 
+    if tier is not None and tier != 'auto':
+        return _PRECISION_TIERS[tier.lower()]
     return _PRECISION_TIERS[
         os.environ.get('GAR_TPU_MATMUL_PRECISION', 'highest').lower()]
 
 
-def mxu_dot(a, b):
+def mxu_dot(a, b, tier: str | None = None):
     """Precision-tiered f32 matmul usable INSIDE Pallas kernels.
 
     Mosaic's dot lowering accepts only DEFAULT and HIGHEST
@@ -102,7 +113,7 @@ def mxu_dot(a, b):
     kernel calls and future shapes/hardware where DMA framing pays at
     the hand-rolled tier.
     """
-    p = dot_precision()
+    p = dot_precision(tier)
     if p == lax.Precision.HIGH:
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -117,12 +128,13 @@ def mxu_dot(a, b):
 DISPATCH_MODES = ('auto', 'pallas', 'xla')
 
 
-def dispatch_for(mode: str) -> bool:
+def dispatch_for(mode: str, tier: str | None = None) -> bool:
     """Per-call-site dispatch: may the Pallas kernel be used?
 
-    ``auto`` follows the process-global gate (``dispatch_allowed``);
-    ``xla`` forces the XLA lowering; ``pallas`` requests the kernel even
-    under reduced precision tiers (the kernels then run the hand-rolled
+    ``auto`` follows the tier-aware gate (``dispatch_allowed``, with
+    ``tier`` pinning the precision per engine when given); ``xla``
+    forces the XLA lowering; ``pallas`` requests the kernel even under
+    reduced precision tiers (the kernels then run the hand-rolled
     bf16x3 ``mxu_dot``) — still subject to ``force_xla`` (the functional
     VJP depends on it: ``pallas_call`` has no transpose rule) and to the
     backend/VMEM fit checks at the call site.
@@ -133,7 +145,7 @@ def dispatch_for(mode: str) -> bool:
         import jax
 
         return _FORCE_XLA_DEPTH == 0 and jax.default_backend() == 'tpu'
-    return dispatch_allowed()
+    return dispatch_allowed(tier)
 
 
 def vmem_bytes(ipx: int, wx: int, p2: int, tf: int,
@@ -159,7 +171,7 @@ def vmem_bytes(ipx: int, wx: int, p2: int, tf: int,
 
 def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
             ipx: int, wx_pad: int, p2: int, tf: int, tile_in: int,
-            fetch: int, ts: int):
+            fetch: int, ts: int, tier: str | None = None):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -187,17 +199,19 @@ def _kernel(x_hbm, r_ref, y_ref, raw_ref, xv_ref, frames_ref, sem, *,
     for f in range(tf):
         frames_ref[f * ts:(f + 1) * ts, :] = (
             xv_ref[:, f * ipx:f * ipx + wx_pad])
-    out = mxu_dot(frames_ref[:, :], r_ref[:, :])         # [TF*TS, P2]
+    out = mxu_dot(frames_ref[:, :], r_ref[:, :], tier)   # [TF*TS, P2]
     for f in range(tf):
         y_ref[:, f, :] = out[f * ts:(f + 1) * ts, :]
 
 
 @functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'ts',
-                                             'min_frames', 'interpret'))
+                                             'min_frames', 'interpret',
+                                             'precision'))
 def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
                           p2: int, ts: int = STREAM_TILE,
                           min_frames: int = 0,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          precision: str = 'auto') -> jax.Array:
     """y[s, m*P2 + r] = sum_w x[s, m*Ipx + w] * r_t[w, r].
 
     ``x`` [S, n] float32, S % ts == 0; ``r_t`` [Wx, P2].  ``ts`` is the
@@ -235,7 +249,9 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
         r_t.astype(jnp.float32))
 
     kernel = functools.partial(_kernel, ipx=ipx, wx_pad=wx_pad, p2=p2,
-                               tf=tf, tile_in=tile_in, fetch=fetch, ts=ts)
+                               tf=tf, tile_in=tile_in, fetch=fetch, ts=ts,
+                               tier=None if precision == 'auto'
+                               else precision)
     y3 = pl.pallas_call(
         kernel,
         grid=(s // ts, n_tiles),
@@ -388,8 +404,11 @@ class force_xla:
         return False
 
 
-def dispatch_allowed() -> bool:
+def dispatch_allowed(tier: str | None = None) -> bool:
     """Shared gate: Pallas kernels may be considered for lowering.
+
+    ``tier`` pins the precision per call site (per-engine ``precision=``);
+    ``None``/'auto' reads the process-global env tier.
 
     Open at the MXU-native pass counts and closed at the hand-rolled
     one, per interleaved hardware A/Bs on the serving step (v5e):
@@ -411,7 +430,7 @@ def dispatch_allowed() -> bool:
 
     return (_FORCE_XLA_DEPTH == 0
             and os.environ.get('GAR_TPU_USE_PALLAS', '1') != '0'
-            and dot_precision() != lax.Precision.HIGH
+            and dot_precision(tier) != lax.Precision.HIGH
             and jax.default_backend() == 'tpu')
 
 

@@ -210,10 +210,11 @@ class ShardedEngineCore(EngineCore):
 
     def __init__(self, plan, mesh: Mesh, batch_per_device: int = 1,
                  block: int = 2048, dtype=jnp.float32,
-                 dispatch: str = 'auto'):
+                 dispatch: str = 'auto', precision: str = 'auto'):
         self.mesh = mesh
         super().__init__(plan, batch=batch_per_device * mesh.devices.size,
-                         block=block, dtype=dtype, dispatch=dispatch)
+                         block=block, dtype=dtype, dispatch=dispatch,
+                         precision=precision)
 
     def _spec_of(self, tree):
         return jax.tree_util.tree_map(

@@ -112,7 +112,8 @@ class TestStreamingBandedCoverage:
 
     def _force_pallas(self, monkeypatch):
         import functools
-        monkeypatch.setattr(pf, 'dispatch_for', lambda m: True)
+        monkeypatch.setattr(pf, 'dispatch_for',
+                    lambda m, tier=None: True)
         monkeypatch.setattr(pf, 'choose_stream_tile', lambda *a, **k: 8)
         monkeypatch.setattr(
             pf, 'fused_resample_pallas',

@@ -279,3 +279,83 @@ class TestTuneMethodology:
                          dispatch="tune")
         assert eng.dispatch in ("pallas", "xla"), \
             "tune on 'tpu' must pin a measured winner, not 'auto'"
+
+
+class TestPerEnginePrecisionPin:
+    """Round-4: per-engine `precision=` pins the tier of the fused banded
+    steps independently of the process-global env (and is part of the
+    static jit key, so engines on different tiers coexist)."""
+
+    def _trace(self, precision):
+        from go_audio_resampler_tpu.engine.streaming import \
+            _banded_frames_apply
+
+        x = jnp.zeros((2, 40), jnp.float32)
+        r_t = jnp.zeros((24, 8), jnp.float32)
+        return str(jax.make_jaxpr(
+            lambda d: _banded_frames_apply(d, r_t, 8, 24, 8, 3,
+                                           'auto', precision))(x))
+
+    def test_pin_overrides_env(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "default")
+        j = self._trace("highest")
+        assert "HIGHEST" in j
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "highest")
+        j2 = self._trace("high")
+        assert "HIGHEST" not in j2 and "HIGH" in j2
+
+    def test_auto_follows_env(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "high")
+        j = self._trace("auto")
+        assert "HIGHEST" not in j and "HIGH" in j
+
+    def test_tier_aware_dispatch_gate(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("GAR_TPU_USE_PALLAS", raising=False)
+        monkeypatch.delenv("GAR_TPU_MATMUL_PRECISION", raising=False)
+        assert pf.dispatch_for("auto", "default")     # kernel wins 2x
+        assert not pf.dispatch_for("auto", "high")    # limb split loses
+        assert pf.dispatch_for("auto", "highest")
+        # env says high (gate closed globally), per-engine pin reopens:
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "high")
+        assert not pf.dispatch_for("auto", None)
+        assert pf.dispatch_for("auto", "highest")
+
+    def test_engine_ctor_validates_and_stores(self):
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, precision="highest")
+        assert eng.precision == "highest"
+        with pytest.raises(ValueError, match="precision"):
+            EngineCore(plan, batch=1, precision="bf16")
+
+    def test_engines_with_different_pins_match_on_cpu(self):
+        # Tier is numerically a no-op on CPU f64: two engines with
+        # different pins must emit identical streams (plumbing check —
+        # the pin changes only the matmul pass count on TPU).
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        x = np.random.default_rng(73).standard_normal((1, 5000)) * 0.5
+        outs = {}
+        for pin in ("highest", "default"):
+            eng = EngineCore(plan, batch=1, block=512, dtype=np.float64,
+                             precision=pin)
+            outs[pin] = np.concatenate([eng.process(x), eng.flush()],
+                                       axis=1)
+        np.testing.assert_array_equal(outs["highest"], outs["default"])
+
+    def test_config_plumbs_precision(self):
+        import go_audio_resampler_tpu as gar
+
+        r = gar.new_resampler(gar.Config(
+            44100, 48000,
+            quality=gar.QualitySpec(preset=gar.QualityPreset.HIGH),
+            dtype=np.float64, precision="highest"))
+        assert all(getattr(e, "precision", "highest") == "highest"
+                   for e in r._exec)
+        with pytest.raises(gar.InvalidConfigError, match="precision"):
+            gar.Config(44100, 48000, precision="fast").validate()
