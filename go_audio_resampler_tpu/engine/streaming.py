@@ -87,8 +87,9 @@ def _fused_banded_step(r_t, carry, x, ipx, wx, p2, dispatch='auto',
     instead (same dispatch family as the one-shot paths).  The
     Pallas/XLA ordering is within tunnel noise and flips between
     sessions (benchmarks/README.md "Dispatch variance"); ``dispatch``
-    pins it per engine, and reduced precision tiers always route to the
-    XLA lowering (pallas_fused.dispatch_allowed).
+    pins it per engine, ``precision`` pins the matmul tier, and the
+    tier-aware gate routes only the hand-rolled HIGH tier to XLA
+    (pallas_fused.dispatch_allowed).
     """
     b = x.shape[1]
     n_frames = b // ipx
@@ -109,8 +110,7 @@ def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames,
     from ..ops import pallas_fused as pf
 
     s = data.shape[0]
-    tier = None if precision == 'auto' else precision
-    if pf.dispatch_for(dispatch, tier) and data.dtype == jnp.float32:
+    if pf.dispatch_for(dispatch, precision) and data.dtype == jnp.float32:
         tf = pf.frame_tile_for(p2)
         ts = (pf.choose_stream_tile(ipx, wx, p2, tf, s)
               if wx - ipx < tf * ipx else 0)
@@ -138,7 +138,7 @@ def _banded_frames_apply(data, r_t, ipx, wx, p2, n_frames,
     frames = stages.gather_windows(data, starts, wx)
     y = jnp.einsum('sfw,wp->sfp', frames, r_t.astype(data.dtype),
                    preferred_element_type=data.dtype,
-                   precision=dot_precision(tier))
+                   precision=dot_precision(precision))
     return y.reshape(s, n_frames * p2)
 
 

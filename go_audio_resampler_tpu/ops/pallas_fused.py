@@ -250,8 +250,7 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
 
     kernel = functools.partial(_kernel, ipx=ipx, wx_pad=wx_pad, p2=p2,
                                tf=tf, tile_in=tile_in, fetch=fetch, ts=ts,
-                               tier=None if precision == 'auto'
-                               else precision)
+                               tier=precision)
     y3 = pl.pallas_call(
         kernel,
         grid=(s // ts, n_tiles),
