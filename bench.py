@@ -163,15 +163,26 @@ def _min_times(fns: dict, warmups: int = 1, iters: int = 12) -> dict:
     budget runs low (the minimum over fewer iterations is still valid,
     just noisier).
     """
-    for _ in range(warmups):
-        for fn in fns.values():
-            float(fn())
     times = {k: [] for k in fns}
+    for _ in range(warmups):
+        for k, fn in fns.items():
+            t0 = time.perf_counter()
+            float(fn())
+            # A degraded-tunnel session can spend 30+ s per round trip;
+            # keep even the warmup timings so ONE full pass suffices for
+            # a (noisy but real) slope when the budget dies early.
+            times[k].append(time.perf_counter() - t0)
+            if _remaining() < 10.0:
+                return {k: float(np.min(v)) if v else float("inf")
+                        for k, v in times.items()}
     for it in range(iters):
         for k, fn in fns.items():
             t0 = time.perf_counter()
             float(fn())
             times[k].append(time.perf_counter() - t0)
+            if _remaining() < 10.0:
+                return {k: float(np.min(v)) if v else float("inf")
+                        for k, v in times.items()}
         if it >= 2 and _remaining() < 20.0:
             break
     return {k: float(np.min(v)) for k, v in times.items()}
@@ -247,7 +258,10 @@ def main() -> None:
         }
 
     def slope(mins: dict, v: str) -> float:
-        d_t = max(mins[(v, n_hi)] - mins[(v, n_lo)], 1e-9)
+        lo, hi = mins[(v, n_lo)], mins[(v, n_hi)]
+        if not (np.isfinite(lo) and np.isfinite(hi)):
+            return 0.0                   # a depth never ran: no slope
+        d_t = max(hi - lo, 1e-9)
         return d_samples / d_t / 1e6
 
     # Phase 1: XLA variant (no Pallas compile risk) -> first valid headline.
@@ -258,12 +272,24 @@ def main() -> None:
     t_c0 = time.monotonic()
     float(fns[("xla", n_hi)]())           # compile (one program, both depths)
     compile_s = time.monotonic() - t_c0
-    mins = _min_times(fns)
+    # Provisional headline after ONE interleaved pass (a degraded tunnel
+    # can spend 30+ s per round trip; if the watchdog fires later, the
+    # artifact still carries a real slope instead of 0.0), then refine.
+    mins = _min_times(fns, warmups=1, iters=1)
     s_xla = slope(mins, "xla")
-    _RESULT.update(value=round(s_xla, 1),
-                   vs_baseline=round(s_xla / baseline, 3),
-                   dispatch="xla", slope_xla=round(s_xla, 1),
-                   status="ok(xla only)")
+    if s_xla > 0:
+        _RESULT.update(value=round(s_xla, 1),
+                       vs_baseline=round(s_xla / baseline, 3),
+                       dispatch="xla", slope_xla=round(s_xla, 1),
+                       status="ok(xla provisional)")
+    if _remaining() > 30.0:
+        mins = _min_times(fns)
+        s_xla = slope(mins, "xla")
+    if s_xla > 0:
+        _RESULT.update(value=round(s_xla, 1),
+                       vs_baseline=round(s_xla / baseline, 3),
+                       dispatch="xla", slope_xla=round(s_xla, 1),
+                       status="ok(xla only)")
 
     # Phase 2: Pallas variant if budget allows, then interleaved A/B.
     # Reserve one more compile of the observed cost plus measuring slack.
