@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="banded-step lowering: auto (default), pin "
                         "pallas/xla, or tune (measure both once and pin "
                         "the winner; one extra compile)")
+    p.add_argument("-precision", default="auto",
+                   choices=["auto", "highest", "high", "default"],
+                   help="matmul tier for the serving steps: auto "
+                        "(process env), highest (exact f32), high "
+                        "(3-pass, ~-117 dB THD), default (1-pass bf16 "
+                        "ingest tier, ~-70 dB THD at ~3.5x)")
     p.add_argument("-v", action="store_true", help="verbose output")
     p.add_argument("-profile", metavar="DIR", default=None,
                    help="write a JAX profiler trace to DIR")
@@ -254,7 +260,8 @@ def run(argv=None) -> int:
         plan = plan_engine(float(in_rate), float(out_rate),
                            preset_to_engine_quality(preset))
         engine = EngineCore(plan, batch=channels, block=8192, dtype=dtype,
-                            dispatch=args.dispatch)
+                            dispatch=args.dispatch,
+                            precision=args.precision)
         writer = WavWriter(args.output, int(out_rate), channels, bits)
 
         t0 = time.perf_counter()

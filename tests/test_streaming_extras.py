@@ -361,3 +361,24 @@ class TestCLIBatch:
                                "-rate", "48000"])
         assert rc == 1
         assert "collision" in capsys.readouterr().err
+
+
+class TestCLIPrecisionFlag:
+
+    def test_precision_flag_accepted(self, tmp_path):
+        from go_audio_resampler_tpu.cli import resample_wav
+        from go_audio_resampler_tpu.utils.wav import WavReader, WavWriter
+        t = np.arange(4410) / 44100
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        inp = tmp_path / "in.wav"
+        outp = tmp_path / "out.wav"
+        w = WavWriter(inp, 44100, 1, 16, use_native=False)
+        w.write(sig)
+        w.close()
+        rc = resample_wav.run([str(inp), str(outp), "-rate", "48000",
+                               "-quality", "high", "-fast",
+                               "-precision", "default"])
+        assert rc == 0
+        r = WavReader(outp, use_native=False)
+        assert r.sample_rate == 48000
+        r.close()
