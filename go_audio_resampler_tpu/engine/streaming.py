@@ -238,6 +238,51 @@ def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
     return min(marginal, key=marginal.get)
 
 
+def _tune_cache_path():
+    """Tune-cache file, or None when disabled (GAR_TUNE_CACHE_FILE=)."""
+    import os
+
+    path = os.environ.get(
+        "GAR_TUNE_CACHE_FILE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "go_audio_resampler_tpu", "tune.json"))
+    return path or None
+
+
+def _tune_cache_get(key: str):
+    path = _tune_cache_path()
+    if path is None:
+        return None
+    try:
+        import json
+        with open(path) as f:
+            return json.load(f).get(key)
+    except Exception:
+        return None
+
+
+def _tune_cache_put(key: str, winner: str) -> None:
+    path = _tune_cache_path()
+    if path is None:
+        return
+    try:
+        import json
+        import os
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+        data[key] = winner
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, path)          # atomic on POSIX
+    except Exception:
+        pass                            # best-effort: tuning still works
+
+
 def pipelined_stream(eng, chunks, out: str, granule: int):
     """Shared pipelined-stream protocol (EngineCore.stream and the
     variable-rate twin both delegate here — one copy of the carve /
@@ -374,6 +419,13 @@ class EngineCore:
         lowerings are launch-bound and the choice is noise either way.
         Costs one extra compile; opt-in.  Off-TPU (or for topologies
         without a banded step) it resolves to 'auto'.
+
+        Measured winners PERSIST per (plan, batch, block, dtype, tier,
+        device kind) in a small JSON cache
+        ($GAR_TUNE_CACHE_FILE, default
+        ~/.cache/go_audio_resampler_tpu/tune.json; set empty to
+        disable) — a deployment tunes once per machine, later engines
+        pin the stored winner without the extra compile.
         """
         if (jax.default_backend() != 'tpu'
                 or self.plan.kind not in ('decimate', 'banded')
@@ -381,6 +433,10 @@ class EngineCore:
             return 'auto'
         if self.plan.kind == 'decimate' and self._decim_fft:
             return 'auto'   # overlap-save step: no Pallas/XLA contrast
+        key = self._tune_key()
+        cached = _tune_cache_get(key)
+        if cached in ('pallas', 'xla'):
+            return cached
         saved = self.dispatch
         x = jnp.zeros((self.batch, self.block), self.dtype)
         fns = {}
@@ -403,7 +459,16 @@ class EngineCore:
                 fns[mode](self.TUNE_DEPTHS[1])   # compile (dynamic depth)
         finally:
             self.dispatch = saved
-        return _slope_pick(fns, self.TUNE_DEPTHS)
+        winner = _slope_pick(fns, self.TUNE_DEPTHS)
+        _tune_cache_put(key, winner)
+        return winner
+
+    def _tune_key(self) -> str:
+        """Stable tune-cache key: plan identity + engine shape + tier +
+        device kind (winners are hardware- and shape-specific)."""
+        dev = jax.devices()[0].device_kind if jax.devices() else '?'
+        return repr((self.plan.fingerprint, self.batch, self.block,
+                     str(self.dtype), self.precision, dev))
 
     # -- construction ------------------------------------------------------
 

@@ -359,3 +359,60 @@ class TestPerEnginePrecisionPin:
                    for e in r._exec)
         with pytest.raises(gar.InvalidConfigError, match="precision"):
             gar.Config(44100, 48000, precision="fast").validate()
+
+
+class TestTunePersistence:
+    """dispatch='tune' winners persist per (plan, shape, tier, device):
+    a deployment tunes once; later engines pin the stored winner with no
+    extra compile (ROADMAP 11)."""
+
+    def test_cache_roundtrip(self, tmp_path, monkeypatch):
+        from go_audio_resampler_tpu.engine import streaming as strm
+
+        monkeypatch.setenv("GAR_TUNE_CACHE_FILE",
+                           str(tmp_path / "tune.json"))
+        assert strm._tune_cache_get("k") is None
+        strm._tune_cache_put("k", "pallas")
+        assert strm._tune_cache_get("k") == "pallas"
+        strm._tune_cache_put("k2", "xla")
+        assert strm._tune_cache_get("k") == "pallas"
+        assert strm._tune_cache_get("k2") == "xla"
+
+    def test_cache_disabled_by_empty_env(self, monkeypatch):
+        from go_audio_resampler_tpu.engine import streaming as strm
+
+        monkeypatch.setenv("GAR_TUNE_CACHE_FILE", "")
+        strm._tune_cache_put("k", "pallas")     # no-op, no crash
+        assert strm._tune_cache_get("k") is None
+
+    def test_seeded_cache_skips_measurement(self, tmp_path, monkeypatch):
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.engine import streaming as strm
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        monkeypatch.setenv("GAR_TUNE_CACHE_FILE",
+                           str(tmp_path / "tune.json"))
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        probe = EngineCore(plan, batch=2, block=2048, dtype=np.float32)
+        strm._tune_cache_put(probe._tune_key(), "xla")
+        # Fake a TPU backend so tune does not early-return 'auto'; the
+        # cache hit must answer BEFORE any variant compiles (a compile
+        # attempt with the fake backend would fail loudly).
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        eng = EngineCore(plan, batch=2, block=2048, dtype=np.float32,
+                         dispatch="tune")
+        assert eng.dispatch == "xla"
+
+    def test_key_separates_shapes_and_tiers(self):
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        a = EngineCore(plan, batch=2, block=2048, dtype=np.float32)
+        b = EngineCore(plan, batch=2, block=2048, dtype=np.float32)
+        c = EngineCore(plan, batch=2, block=4096, dtype=np.float32)
+        d = EngineCore(plan, batch=2, block=2048, dtype=np.float32,
+                       precision="default")
+        assert a._tune_key() == b._tune_key()
+        assert a._tune_key() != c._tune_key()
+        assert a._tune_key() != d._tune_key()
