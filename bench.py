@@ -16,7 +16,11 @@ over interleaved synchronized runs (robust to the tunnel's heavy-tailed
 jitter).
 
 Time budget (round-3 lesson: BENCH_r03 timed out with nothing printed):
-the run is hard-capped at ``GAR_BENCH_BUDGET_S`` seconds (default 600).
+the run is hard-capped at ``GAR_BENCH_BUDGET_S`` seconds (default 1200 —
+healthy sessions finish all three phases in 30-130 s; the slack exists
+because the dev tunnel occasionally stalls a single native call for
+5-15 minutes, and a longer budget turns such an episode into a late
+result instead of a zero).
 The XLA variant — no Pallas compile risk — is compiled and measured
 first and its headline is held as the result-so-far; the Pallas variant
 is attempted only if budget remains, and an interleaved A/B re-measure
@@ -52,7 +56,7 @@ import time
 
 import numpy as np
 
-BUDGET_S = float(os.environ.get("GAR_BENCH_BUDGET_S", "600"))
+BUDGET_S = float(os.environ.get("GAR_BENCH_BUDGET_S", "1200"))
 _T0 = time.monotonic()
 
 # Result-so-far: updated in place as phases finish; emitted exactly once.
@@ -164,28 +168,24 @@ def _min_times(fns: dict, warmups: int = 1, iters: int = 12) -> dict:
     just noisier).
     """
     times = {k: [] for k in fns}
-    for _ in range(warmups):
-        for k, fn in fns.items():
-            t0 = time.perf_counter()
-            float(fn())
-            # A degraded-tunnel session can spend 30+ s per round trip;
-            # keep even the warmup timings so ONE full pass suffices for
-            # a (noisy but real) slope when the budget dies early.
-            times[k].append(time.perf_counter() - t0)
-            if _remaining() < 10.0:
-                return {k: float(np.min(v)) if v else float("inf")
-                        for k, v in times.items()}
-    for it in range(iters):
+
+    def mins():
+        return {k: float(np.min(v)) if v else float("inf")
+                for k, v in times.items()}
+
+    # Warmup timings count toward the min too: a degraded-tunnel session
+    # can spend 30+ s per round trip, and ONE full pass must suffice for
+    # a (noisy but real) slope when the budget dies early.
+    for it in range(warmups + iters):
         for k, fn in fns.items():
             t0 = time.perf_counter()
             float(fn())
             times[k].append(time.perf_counter() - t0)
             if _remaining() < 10.0:
-                return {k: float(np.min(v)) if v else float("inf")
-                        for k, v in times.items()}
-        if it >= 2 and _remaining() < 20.0:
+                return mins()
+        if it >= warmups + 2 and _remaining() < 20.0:
             break
-    return {k: float(np.min(v)) for k, v in times.items()}
+    return mins()
 
 
 def main() -> None:
@@ -272,24 +272,23 @@ def main() -> None:
     t_c0 = time.monotonic()
     float(fns[("xla", n_hi)]())           # compile (one program, both depths)
     compile_s = time.monotonic() - t_c0
+    def publish_xla(s, status):
+        if s > 0:
+            _RESULT.update(value=round(s, 1),
+                           vs_baseline=round(s / baseline, 3),
+                           dispatch="xla", slope_xla=round(s, 1),
+                           status=status)
+
     # Provisional headline after ONE interleaved pass (a degraded tunnel
     # can spend 30+ s per round trip; if the watchdog fires later, the
     # artifact still carries a real slope instead of 0.0), then refine.
     mins = _min_times(fns, warmups=1, iters=1)
     s_xla = slope(mins, "xla")
-    if s_xla > 0:
-        _RESULT.update(value=round(s_xla, 1),
-                       vs_baseline=round(s_xla / baseline, 3),
-                       dispatch="xla", slope_xla=round(s_xla, 1),
-                       status="ok(xla provisional)")
+    publish_xla(s_xla, "ok(xla provisional)")
     if _remaining() > 30.0:
         mins = _min_times(fns)
         s_xla = slope(mins, "xla")
-    if s_xla > 0:
-        _RESULT.update(value=round(s_xla, 1),
-                       vs_baseline=round(s_xla / baseline, 3),
-                       dispatch="xla", slope_xla=round(s_xla, 1),
-                       status="ok(xla only)")
+    publish_xla(s_xla, "ok(xla only)")
 
     # Phase 2: Pallas variant if budget allows, then interleaved A/B.
     # Reserve one more compile of the observed cost plus measuring slack.

@@ -211,6 +211,11 @@ def run(argv=None) -> int:
     # argparse's greedy nargs='+' consumes every positional; re-split here.
     positionals = list(args.input) + ([args.output] if args.output else [])
     if args.outdir is not None:
+        if args.precision != "auto":
+            # Batch mode runs the one-shot path, which follows the
+            # process-global tier; a per-engine pin would silently no-op.
+            import os
+            os.environ["GAR_TPU_MATMUL_PRECISION"] = args.precision
         args.input = positionals
         return run_batch(args, preset)
     if len(positionals) != 2:
