@@ -93,8 +93,11 @@ def _emit(final: bool = False) -> None:
 def _bail(why: str):
     if _RESULT["status"] == "init" or _RESULT["value"] == 0.0:
         _RESULT["status"] = f"interrupted({why}) before first slope"
-    else:
-        _RESULT["status"] = f"partial({why})"
+        _emit()
+        # Match the __main__ convention: a budget-expired run with zero
+        # results must not report success (round-4 advisor finding).
+        os._exit(1)
+    _RESULT["status"] = f"partial({why})"
     _emit()
     os._exit(0)
 

@@ -125,24 +125,26 @@ class CubicState:
 # Prestage: integer-factor polyphase FIR upsampling (dft_stage.go:156-338)
 # ---------------------------------------------------------------------------
 
-def prestage_apply(coeffs: jax.Array, xext: jax.Array, factor: int) -> jax.Array:
+def prestage_apply(coeffs: jax.Array, xext: jax.Array, factor: int,
+                   precision: str = 'auto') -> jax.Array:
     """u[s, i*F + p] = dot(xext[s, i:i+T1], coeffs[p]) for all valid i.
 
     ``coeffs`` [F, T1] are tap-reversed (design time), so this correlation
     is the reference's polyphase convolution.  Lowered by XLA as a strided
-    convolution (MXU-eligible).
+    convolution (MXU-eligible).  ``precision`` pins the matmul tier per
+    call site ('auto' = the process-global GAR_TPU_MATMUL_PRECISION).
     """
     from ..ops.convolve import conv1d_poly_interleaved
 
     del factor  # implied by coeffs.shape[0]
-    return conv1d_poly_interleaved(xext, coeffs)
+    return conv1d_poly_interleaved(xext, coeffs, precision)
 
 
 def prestage_process(coeffs: jax.Array, state: PrestageState, x: jax.Array,
-                     factor: int):
+                     factor: int, precision: str = 'auto'):
     """Streaming prestage step: [S, B] in -> [S, F*B] out, carry T1-1."""
     xext = jnp.concatenate([state.carry.astype(x.dtype), x], axis=1)
-    u = prestage_apply(coeffs, xext, factor)
+    u = prestage_apply(coeffs, xext, factor, precision)
     t1 = coeffs.shape[1]
     new_carry = xext[:, xext.shape[1] - (t1 - 1):]
     return PrestageState(carry=new_carry), u
@@ -152,7 +154,8 @@ def prestage_process(coeffs: jax.Array, state: PrestageState, x: jax.Array,
 # 1:1 FIR stage (strict-antialias prefilter; beyond reference)
 # ---------------------------------------------------------------------------
 
-def fir_process(coeffs: jax.Array, carry: jax.Array, x: jax.Array):
+def fir_process(coeffs: jax.Array, carry: jax.Array, x: jax.Array,
+                precision: str = 'auto'):
     """Causal streaming FIR: [S, B] in -> [S, B] out, carry T-1 samples.
 
     ``coeffs`` [T] is the correlation kernel (symmetric for the linear-
@@ -162,7 +165,8 @@ def fir_process(coeffs: jax.Array, carry: jax.Array, x: jax.Array):
     delay-compensated 'same' filtering the one-shot path uses.
     """
     xext = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
-    y = conv1d_poly(xext, coeffs[None, :].astype(x.dtype), stride=1)[:, 0, :]
+    y = conv1d_poly(xext, coeffs[None, :].astype(x.dtype), stride=1,
+                    precision=precision)[:, 0, :]
     return xext[:, x.shape[1]:], y
 
 def poly_coeff_matrix(banks, phase: jax.Array, x: jax.Array) -> jax.Array:
@@ -207,7 +211,7 @@ def _banded_emit_on() -> bool:
 
 
 def _poly_emit_banded(banks, hist, div, phase, x, taps: int, span: int,
-                      tv: int):
+                      tv: int, precision: str = 'auto'):
     """Banded-tile lowering of the polyphase emit (TPU float32 path).
 
     Same trick as the one-shot tile matrices (oneshot._general_matrices)
@@ -235,13 +239,13 @@ def _poly_emit_banded(banks, hist, div, phase, x, taps: int, span: int,
     slab = gather_windows(hist, i0, span)                    # [S, n_t, span]
     y = jnp.einsum('stw,tcw->stc', slab, b,
                    preferred_element_type=hist.dtype,
-                   precision=dot_precision())
+                   precision=dot_precision(precision))
     return y.reshape(hist.shape[0], cap)
 
 
 def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
               num_phases: int, taps: int, step_hi: int, step_lo: int,
-              cap: int, out_tile: int = 0):
+              cap: int, out_tile: int = 0, precision: str = 'auto'):
     """Emit up to ``cap`` polyphase outputs from the packed history.
 
     Returns (y[S, cap], valid[cap], n_out, at_hi', at_lo') where the valid
@@ -270,7 +274,7 @@ def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
         phase_p = jnp.pad(phase, (0, pad), mode='edge')
         x_p = jnp.pad(x, (0, pad), mode='edge')
         y = _poly_emit_banded(banks, hist, div_p, phase_p, x_p,
-                              taps, span, tv)[:, :cap]
+                              taps, span, tv, precision)[:, :cap]
     else:
         def tile_fn(args):
             div_t, phase_t, x_t = args
@@ -278,7 +282,7 @@ def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
             w = gather_windows(hist, div_t, taps)           # [S, tile, T2]
             return jnp.einsum('sct,ct->sc', w, K.astype(hist.dtype),
                               preferred_element_type=hist.dtype,
-                              precision=dot_precision())
+                              precision=dot_precision(precision))
 
         if out_tile and cap > out_tile and cap % out_tile == 0:
             n_tiles = cap // out_tile
@@ -297,7 +301,8 @@ def poly_emit(banks, hist: jax.Array, hist_len, at_hi, at_lo,
 
 
 def poly_process(banks, state: PolyState, u: jax.Array, num_phases: int,
-                 taps: int, step_hi: int, step_lo: int, cap: int):
+                 taps: int, step_hi: int, step_lo: int, cap: int,
+                 precision: str = 'auto'):
     """Streaming polyphase step: append u, emit, consume, rebase."""
     m = u.shape[1]
     hist = lax.dynamic_update_slice(state.hist, u.astype(state.hist.dtype),
@@ -305,7 +310,7 @@ def poly_process(banks, state: PolyState, u: jax.Array, num_phases: int,
     hist_len = state.hist_len + I32(m)
     y, valid, n_out, at_hi, at_lo = poly_emit(
         banks, hist, hist_len, state.at_hi, state.at_lo,
-        num_phases, taps, step_hi, step_lo, cap)
+        num_phases, taps, step_hi, step_lo, cap, precision=precision)
     consumed = jnp.minimum(at_hi // I32(num_phases), hist_len)
     hist = jnp.roll(hist, -consumed, axis=1)
     new_state = PolyState(hist=hist, hist_len=hist_len - consumed,
@@ -319,7 +324,7 @@ def poly_process(banks, state: PolyState, u: jax.Array, num_phases: int,
 # ---------------------------------------------------------------------------
 
 def decim_process(coeffs: jax.Array, state: DecimState, x: jax.Array,
-                  factor: int):
+                  factor: int, precision: str = 'auto'):
     """Streaming decimation: strided FIR at absolute positions next_rel + j*M.
 
     The carry holds T-1 zero-initialized samples and ``next_rel`` starts at
@@ -338,7 +343,8 @@ def decim_process(coeffs: jax.Array, state: DecimState, x: jax.Array,
     padded = jnp.concatenate(
         [histbuf, jnp.zeros((s, 2 * m + 1), dtype=x.dtype)], axis=1)
     window = lax.dynamic_slice(padded, (I32(0), r), (s, lw))
-    out = conv1d_poly(window, coeffs[None, :], stride=m)[:, 0, :]  # [S, cap]
+    out = conv1d_poly(window, coeffs[None, :], stride=m,
+                      precision=precision)[:, 0, :]  # [S, cap]
     pos = r + lax.iota(I32, cap) * I32(m)
     valid = (pos >= state.next_rel) & (pos < I32(b))
     k0 = (state.next_rel - r) // I32(m)

@@ -45,9 +45,10 @@ def _step_cubic(state, x, cubic_step, cap):
     return st, y, n
 
 
-@partial(jax.jit, donate_argnames=('carry',))
-def _step_fir(coeffs, carry, x):
-    return stages.fir_process(coeffs, carry, x)
+@partial(jax.jit, static_argnames=('precision',),
+         donate_argnames=('carry',))
+def _step_fir(coeffs, carry, x, precision='auto'):
+    return stages.fir_process(coeffs, carry, x, precision)
 
 
 def _fir_fft_step(coeffs_np, carry, x):
@@ -62,15 +63,18 @@ def _fir_fft_step(coeffs_np, carry, x):
     return xext[:, x.shape[1]:], y
 
 
-@partial(jax.jit, static_argnames=('factor',), donate_argnames=('state',))
-def _step_dft_up(coeffs, state, x, factor):
-    st, u = stages.prestage_process(coeffs, state, x, factor)
+@partial(jax.jit, static_argnames=('factor', 'precision'),
+         donate_argnames=('state',))
+def _step_dft_up(coeffs, state, x, factor, precision='auto'):
+    st, u = stages.prestage_process(coeffs, state, x, factor, precision)
     return st, u, I32(u.shape[1])
 
 
-@partial(jax.jit, static_argnames=('factor',), donate_argnames=('state',))
-def _step_decim(coeffs, state, x, factor):
-    st, y, valid, n = stages.decim_process(coeffs, state, x, factor)
+@partial(jax.jit, static_argnames=('factor', 'precision'),
+         donate_argnames=('state',))
+def _step_decim(coeffs, state, x, factor, precision='auto'):
+    st, y, valid, n = stages.decim_process(coeffs, state, x, factor,
+                                           precision)
     return st, y, n
 
 
@@ -179,14 +183,16 @@ def _step_decim_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto',
 
 
 @partial(jax.jit, static_argnames=('factor', 'num_phases', 'taps', 'step_hi',
-                                   'step_lo', 'cap'),
+                                   'step_lo', 'cap', 'precision'),
          donate_argnames=('state',))
 def _step_two_stage(pre_coeffs, banks, state, x, factor, num_phases, taps,
-                    step_hi, step_lo, cap):
+                    step_hi, step_lo, cap, precision='auto'):
     pre_state, poly_state = state
-    pre_state, u = stages.prestage_process(pre_coeffs, pre_state, x, factor)
+    pre_state, u = stages.prestage_process(pre_coeffs, pre_state, x, factor,
+                                           precision)
     poly_state, y, valid, n = stages.poly_process(
-        banks, poly_state, u, num_phases, taps, step_hi, step_lo, cap)
+        banks, poly_state, u, num_phases, taps, step_hi, step_lo, cap,
+        precision)
     return (pre_state, poly_state), y, n
 
 
@@ -210,9 +216,9 @@ def _step_rational_fused(r_t, carry, x, ipx, wx, p2, dispatch='auto',
                               precision)
 
 
-def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
-                timer=None) -> str:
-    """Pick the variant with the smallest marginal (depth-slope) time.
+def _slope_measure(fns: dict, depths: tuple, iters: int = 5,
+                   timer=None) -> tuple:
+    """Measure marginal (depth-slope) times per variant, with a jitter floor.
 
     ``fns[name](n)`` runs a synchronized chain of ``n`` steps; the score
     per variant is ``min_t(depths[1]) - min_t(depths[0])`` — the marginal
@@ -221,6 +227,14 @@ def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
     interleaved within each iteration so clock/tunnel drift hits every
     cell equally; minima over iterations resist one-sided jitter.
     ``timer`` is injectable for tests.
+
+    Returns ``(winner, contrast, jitter)``: ``contrast`` is the marginal
+    gap between the best and second-best variant; ``jitter`` estimates
+    the measurement noise floor of that gap — per timing cell, the gap
+    between the two smallest samples bounds how settled the min is, and
+    a marginal (the difference of two cell minima) inherits the sum of
+    its cells' floors.  Callers compare contrast against jitter before
+    trusting (or persisting) the winner.
     """
     import time as _time
 
@@ -235,7 +249,26 @@ def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
                 times[(m, n)].append(timer() - t0)
     marginal = {m: min(times[(m, n_hi)]) - min(times[(m, n_lo)])
                 for m in fns}
-    return min(marginal, key=marginal.get)
+
+    def cell_floor(samples):
+        if len(samples) < 2:
+            return 0.0
+        s = sorted(samples)
+        return s[1] - s[0]
+
+    jitter = max(cell_floor(times[(m, n_hi)]) + cell_floor(times[(m, n_lo)])
+                 for m in fns)
+    ranked = sorted(fns, key=marginal.get)
+    winner = ranked[0]
+    contrast = (marginal[ranked[1]] - marginal[ranked[0]]
+                if len(ranked) > 1 else float('inf'))
+    return winner, contrast, jitter
+
+
+def _slope_pick(fns: dict, depths: tuple, iters: int = 5,
+                timer=None) -> str:
+    """The variant with the smallest marginal time (see _slope_measure)."""
+    return _slope_measure(fns, depths, iters, timer)[0]
 
 
 def _tune_cache_path():
@@ -261,7 +294,10 @@ def _tune_cache_get(key: str):
         return None
 
 
-def _tune_cache_put(key: str, winner: str) -> None:
+def _tune_cache_put(key: str, entry) -> None:
+    """Persist a tune entry: a bare winner string (legacy) or a dict
+    ``{"winner": ..., "contrast_s": ..., "jitter_s": ...}`` recording the
+    measured margin so a later reader can judge how settled the pin is."""
     path = _tune_cache_path()
     if path is None:
         return
@@ -273,7 +309,7 @@ def _tune_cache_put(key: str, winner: str) -> None:
                 data = json.load(f)
         except Exception:
             data = {}
-        data[key] = winner
+        data[key] = entry
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -379,13 +415,16 @@ class EngineCore:
         self.batch = batch
         self.block = block
         self.dispatch = dispatch
-        #: Per-engine matmul tier for the fused banded steps ('auto' =
-        #: the process-global GAR_TPU_MATMUL_PRECISION): two engines in
-        #: one process can serve different tiers (exact-f32 quality vs
-        #: the 1-pass bf16 ingest tier) without cache clears — the tier
-        #: is part of the step's static jit key.  Scope: the banded
-        #: serving steps (rational/decimate/banded composite); the
-        #: non-banded topologies follow the process-global tier.
+        #: Per-engine matmul tier ('auto' = the process-global
+        #: GAR_TPU_MATMUL_PRECISION): two engines in one process can
+        #: serve different tiers (exact-f32 quality vs the 1-pass bf16
+        #: ingest tier) without cache clears — the tier is part of each
+        #: step's static jit key.  Scope: every matmul/conv site — the
+        #: fused banded steps (rational/decimate/banded composite), the
+        #: dft_up prestage conv, the general two-stage walk (prestage +
+        #: poly emit), and the aa prefilter.  The cubic stage is pure
+        #: elementwise VPU work (no matmul), so the tier is a no-op
+        #: there; the FFT overlap-save paths likewise have no matmul.
         self.precision = precision
         self.dtype = jnp.dtype(dtype)
         self._build_constants()
@@ -421,11 +460,15 @@ class EngineCore:
         without a banded step) it resolves to 'auto'.
 
         Measured winners PERSIST per (plan, batch, block, dtype, tier,
-        device kind) in a small JSON cache
+        device kind, package+jax version) in a small JSON cache
         ($GAR_TUNE_CACHE_FILE, default
         ~/.cache/go_audio_resampler_tpu/tune.json; set empty to
         disable) — a deployment tunes once per machine, later engines
-        pin the stored winner without the extra compile.
+        pin the stored winner without the extra compile.  A winner is
+        persisted only when the measured contrast clears the session's
+        timing-jitter floor (TUNE_NOISE_FACTOR x); below that, both
+        lowerings are launch-bound noise and the engine pins 'auto'
+        without freezing a coin flip into the machine-wide cache.
         """
         if (jax.default_backend() != 'tpu'
                 or self.plan.kind not in ('decimate', 'banded')
@@ -435,6 +478,8 @@ class EngineCore:
             return 'auto'   # overlap-save step: no Pallas/XLA contrast
         key = self._tune_key()
         cached = _tune_cache_get(key)
+        if isinstance(cached, dict):
+            cached = cached.get('winner')
         if cached in ('pallas', 'xla'):
             return cached
         saved = self.dispatch
@@ -459,16 +504,31 @@ class EngineCore:
                 fns[mode](self.TUNE_DEPTHS[1])   # compile (dynamic depth)
         finally:
             self.dispatch = saved
-        winner = _slope_pick(fns, self.TUNE_DEPTHS)
-        _tune_cache_put(key, winner)
+        winner, contrast, jitter = _slope_measure(fns, self.TUNE_DEPTHS)
+        if contrast < self.TUNE_NOISE_FACTOR * jitter:
+            # Low contrast: the marginal gap is indistinguishable from
+            # timing noise — do not pin, do not persist (round-4 verdict
+            # item 5; the docstring's own caveat made data-driven).
+            return 'auto'
+        _tune_cache_put(key, {'winner': winner,
+                              'contrast_s': contrast, 'jitter_s': jitter})
         return winner
+
+    #: A tune winner is pinned/persisted only when the marginal-time
+    #: contrast exceeds this multiple of the session's jitter floor.
+    TUNE_NOISE_FACTOR = 2.0
 
     def _tune_key(self) -> str:
         """Stable tune-cache key: plan identity + engine shape + tier +
-        device kind (winners are hardware- and shape-specific)."""
+        device kind (winners are hardware- and shape-specific) + a
+        schema token of the package and jax versions, so a pin never
+        outlives the kernels it measured (kernel rewrites or JAX
+        upgrades can flip the ordering — round-4 advisor finding)."""
+        from .. import __version__
         dev = jax.devices()[0].device_kind if jax.devices() else '?'
         return repr((self.plan.fingerprint, self.batch, self.block,
-                     str(self.dtype), self.precision, dev))
+                     str(self.dtype), self.precision, dev,
+                     __version__, jax.__version__))
 
     # -- construction ------------------------------------------------------
 
@@ -490,7 +550,8 @@ class EngineCore:
                     _fir_fft_step, np.asarray(p.aa_coeffs,
                                               dtype=np.float64)))
             else:
-                self._fir_fn = partial(_step_fir, self._aa_coeffs)
+                self._fir_fn = partial(_step_fir, self._aa_coeffs,
+                                       precision=self.precision)
         self._drop_override = None
         self.rational_fused = False
         if p.kind == 'two_stage':
@@ -636,9 +697,10 @@ class EngineCore:
             if p.factor == 1:
                 return lambda state, x: (state, x, I32(x.shape[1]))
             coeffs, f = self.pre_coeffs, p.factor
+            prec = self.precision
 
             def fn(state, x):
-                st, u = stages.prestage_process(coeffs, state, x, f)
+                st, u = stages.prestage_process(coeffs, state, x, f, prec)
                 return st, u, I32(u.shape[1])
             return fn
         if p.kind == 'decimate':
@@ -662,12 +724,14 @@ class EngineCore:
         coeffs, banks = self.pre_coeffs, self.banks
         f, L, t2 = p.factor, p.num_phases, p.poly_taps
         s_hi, s_lo, cap = p.step_hi, p.step_lo, self.poly_cap
+        prec = self.precision
 
         def fn(state, x):
             pre_state, poly_state = state
-            pre_state, u = stages.prestage_process(coeffs, pre_state, x, f)
+            pre_state, u = stages.prestage_process(coeffs, pre_state, x, f,
+                                                   prec)
             poly_state, y, valid, n = stages.poly_process(
-                banks, poly_state, u, L, t2, s_hi, s_lo, cap)
+                banks, poly_state, u, L, t2, s_hi, s_lo, cap, prec)
             return (pre_state, poly_state), y, n
         return fn
 
@@ -681,7 +745,8 @@ class EngineCore:
                 # unity ratio: pass-through (dft_stage.go:57-59)
                 return lambda state, x: (state, x, I32(x.shape[1]))
             return lambda state, x: _step_dft_up(
-                self.pre_coeffs, state, x, factor=p.factor)
+                self.pre_coeffs, state, x, factor=p.factor,
+                precision=self.precision)
         if p.kind == 'decimate':
             if self._decim_fft:
                 return jax.jit(partial(_fft_decim_step,
@@ -704,7 +769,8 @@ class EngineCore:
         return lambda state, x: _step_two_stage(
             self.pre_coeffs, self.banks, state, x, factor=p.factor,
             num_phases=p.num_phases, taps=p.poly_taps, step_hi=p.step_hi,
-            step_lo=p.step_lo, cap=self.poly_cap)
+            step_lo=p.step_lo, cap=self.poly_cap,
+            precision=self.precision)
 
     def _scan_core(self):
         """Multi-block step: lax.scan of core_fn over SCAN_BLOCKS blocks.
@@ -1088,7 +1154,11 @@ class EngineCore:
         batch==1); a host-side remainder buffer carves them into
         :attr:`device_chunk_multiple` granules.  Yields the resampled
         stream in order, ending with the flush tail; the concatenation is
-        canonically identical to ``process(all)+flush()``.
+        canonically identical to ``process(all)+flush()`` — except that on
+        float32 banded-composite engines the first ``n_head`` samples may
+        differ at the f32 rounding level, because the device route applies
+        the exact head rows in the engine dtype while the host path
+        computes them in float64 (see :meth:`_emit_device`).
 
         ``out='host'`` yields ``np.ndarray``; ``out='device'`` yields
         ``jax.Array`` without ever downloading (the caller owns sync

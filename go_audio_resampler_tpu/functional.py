@@ -105,10 +105,16 @@ def _scan_apply(plan: EnginePlan, x: jax.Array, dtype) -> jax.Array:
         block = 4096
         m = block * plan.factor
         cap = -(-(m * plan.num_phases * 65536) // plan.step) + 1
-        while cap > 32767:                    # walk16 int32 bound
+        while cap > 32767 and block > 1:      # walk16 int32 bound
             block //= 2
             m = block * plan.factor
             cap = -(-(m * plan.num_phases * 65536) // plan.step) + 1
+        if cap > 32767:
+            # Unreachable for ratios within MAX_RATIO (cap ~ block*ratio),
+            # but block==1 would otherwise divide by zero below.
+            raise ValueError(
+                f"polyphase walk cap {cap} exceeds the int32 bound even at "
+                f"block=1 (ratio {plan.ratio}); ratio out of supported range")
         step_in = -(-plan.step // (plan.num_phases * 65536))
         hist = plan.poly_taps + step_in + 2 + m + lm.core_delta()
         hold = hist

@@ -48,17 +48,18 @@ def _impl() -> str:
     return 'frames' if jax.default_backend() == 'cpu' else 'banded'
 
 
-def _conv_xla(x: jax.Array, kernels: jax.Array, stride: int) -> jax.Array:
+def _conv_xla(x: jax.Array, kernels: jax.Array, stride: int,
+              precision: str = 'auto') -> jax.Array:
     return lax.conv_general_dilated(
         x[:, None, :], kernels[:, None, :].astype(x.dtype),
         window_strides=(stride,), padding='VALID',
         dimension_numbers=('NCH', 'OIH', 'NCH'),
         preferred_element_type=x.dtype,
-                          precision=dot_precision())
+        precision=dot_precision(precision))
 
 
 def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
-                 tile: int = 512) -> jax.Array:
+                 tile: int = 512, precision: str = 'auto') -> jax.Array:
     n = x.shape[1]
     f, t = kernels.shape
     n_out = (n - t) // stride + 1
@@ -70,7 +71,7 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
         w = jnp.take(x, idx, axis=1)                     # [S, n_out, T]
         return jnp.einsum('sct,ft->sfc', w, k,
                           preferred_element_type=x.dtype,
-                          precision=dot_precision())
+                          precision=dot_precision(precision))
     padded = -(-n_out // tile) * tile
     starts = lax.iota(jnp.int32, padded) * stride
     idx = jnp.clip(starts[:, None] + lax.iota(jnp.int32, t)[None, :], 0, n - 1)
@@ -80,7 +81,7 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
         w = jnp.take(x, ix, axis=1)                      # [S, tile, T]
         return jnp.einsum('sct,ft->sfc', w, k,
                           preferred_element_type=x.dtype,
-                          precision=dot_precision())
+                          precision=dot_precision(precision))
 
     y = lax.map(tile_fn, idx_r)                          # [ntiles, S, F, tile]
     y = jnp.moveaxis(y, 0, 2).reshape(x.shape[0], f, padded)
@@ -88,7 +89,8 @@ def _conv_frames(x: jax.Array, kernels: jax.Array, stride: int,
 
 
 def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
-                 period: int = 256, interleaved: bool = False) -> jax.Array:
+                 period: int = 256, interleaved: bool = False,
+                 precision: str = 'auto') -> jax.Array:
     """Grouped banded-matmul lowering (see module docstring).
 
     With ``interleaved`` the result is the flat [S, n_out*F] stream
@@ -126,7 +128,7 @@ def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
     p = min(128, max(n_out, 1))
     nf = -(-n_out // p)
     from . import pallas_fused as pf
-    if (pf.dispatch_allowed()
+    if (pf.dispatch_for('auto', precision)
             and x.dtype == jnp.float32 and nf > 1):
         ipx, p2 = p * stride, p * f
         r_pal, w = band_matrix(p)
@@ -139,7 +141,7 @@ def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
             xp = jnp.pad(x, ((0, s_pad - x.shape[0]),
                              (0, max(0, xlen - n))))[:, :xlen]
             yk = pf.fused_resample_pallas(xp, r_pal, ipx=ipx, wx=w, p2=p2,
-                                          ts=ts)
+                                          ts=ts, precision=precision)
             y3 = yk[:x.shape[0], :nf * p2].reshape(x.shape[0], nf, p2)
     if y3 is None:
         p = min(period, max(n_out, 1))
@@ -153,7 +155,7 @@ def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
             + np.arange(w)[None, :], dtype=jnp.int32), axis=1)  # [S,nf,W]
         y3 = jnp.einsum('snw,wk->snk', frames, r,
                         preferred_element_type=x.dtype,
-                        precision=dot_precision())      # [S, nf, P*F]
+                        precision=dot_precision(precision))  # [S, nf, P*F]
     if interleaved:
         # y3[s, n, ii*f + ff] = filter ff at output n*p + ii — already
         # the polyphase-interleaved stream order; flatten for free.
@@ -163,21 +165,25 @@ def _conv_banded(x: jax.Array, kernels: jax.Array, stride: int,
     return y[:, :, :n_out]
 
 
-def conv1d_poly(x: jax.Array, kernels: jax.Array, stride: int = 1) -> jax.Array:
+def conv1d_poly(x: jax.Array, kernels: jax.Array, stride: int = 1,
+                precision: str = 'auto') -> jax.Array:
     """y[s, f, i] = sum_t x[s, i*stride + t] * kernels[f, t]  ('VALID').
 
     ``kernels`` rows are tap-reversed filters (design-time convention), so
     this correlation implements the reference's convolution direction.
+    ``precision`` is the per-call matmul-tier pin ('auto' = the
+    process-global GAR_TPU_MATMUL_PRECISION).
     """
     impl = _impl()
     if impl == 'xla':
-        return _conv_xla(x, kernels, stride)
+        return _conv_xla(x, kernels, stride, precision)
     if impl == 'banded':
-        return _conv_banded(x, kernels, stride)
-    return _conv_frames(x, kernels, stride)
+        return _conv_banded(x, kernels, stride, precision=precision)
+    return _conv_frames(x, kernels, stride, precision=precision)
 
 
-def conv1d_poly_interleaved(x: jax.Array, kernels: jax.Array) -> jax.Array:
+def conv1d_poly_interleaved(x: jax.Array, kernels: jax.Array,
+                            precision: str = 'auto') -> jax.Array:
     """u[s, i*F + ff] = sum_t x[s, i + t] * kernels[ff, t] (stride 1).
 
     The polyphase-upsampled stream in its natural interleaved order.
@@ -185,8 +191,9 @@ def conv1d_poly_interleaved(x: jax.Array, kernels: jax.Array) -> jax.Array:
     other lowerings transpose the [S, F, n_out] conv output.
     """
     if _impl() == 'banded':
-        return _conv_banded(x, kernels, 1, interleaved=True)
-    out = conv1d_poly(x, kernels, 1)              # [S, F, n_out]
+        return _conv_banded(x, kernels, 1, interleaved=True,
+                            precision=precision)
+    out = conv1d_poly(x, kernels, 1, precision)   # [S, F, n_out]
     f = kernels.shape[0]
     return jnp.transpose(out, (0, 2, 1)).reshape(
         x.shape[0], out.shape[2] * f)

@@ -129,6 +129,13 @@ def _apply(waveform, plan, orig_freq: float, new_freq: float):
         # half / bfloat16 have no numpy counterpart torch will export;
         # compute at float32 (>= their precision), cast back on return.
         x = x.float()
+    elif x.dtype == torch.float64:
+        # Same warn-and-degrade contract as soxr_compat._compute_dtype:
+        # without jax_enable_x64 a float64 array silently computes at
+        # float32 inside the engine — degrade explicitly instead.
+        from .soxr_compat import _compute_dtype
+        if _compute_dtype(np.dtype(np.float64)) is np.float32:
+            x = x.float()
     # torch CPU tensors share memory with numpy: the flatten/upload is the
     # only copy on the way in.
     x_np = x.contiguous().reshape(-1, n).numpy()

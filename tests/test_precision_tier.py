@@ -264,21 +264,47 @@ class TestTuneMethodology:
             assert set(seen) == {4, 36}, (k, seen)
             assert min(seen) > 1, "tune must chain steps, not time one"
 
-    def test_tune_flow_runs_on_forced_backend(self, monkeypatch):
+    def test_tune_flow_runs_on_forced_backend(self, monkeypatch, tmp_path):
         """End-to-end tune flow (compile both variants as dynamic-depth
-        chains, slope-pick) exercised on CPU by forcing the backend
+        chains, slope-measure) exercised on CPU by forcing the backend
         string; batch < 8 keeps the Pallas kernel out of reach so both
-        'variants' lower to XLA and the flow is safe off-TPU."""
+        'variants' lower to XLA and the flow is safe off-TPU.  Both
+        variants run the SAME program here, so the contrast is pure
+        noise: a measured winner OR the noise-refusal 'auto' are both
+        legal outcomes — what must never happen is an error or a
+        left-over 'tune' mode."""
         import jax as _jax
         from go_audio_resampler_tpu.engine import EngineCore, plan_engine
         from go_audio_resampler_tpu.filterdesign import Quality
 
+        monkeypatch.setenv("GAR_TUNE_CACHE_FILE",
+                           str(tmp_path / "tune.json"))
         monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
         plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
         eng = EngineCore(plan, batch=1, block=512, dtype=np.float32,
                          dispatch="tune")
-        assert eng.dispatch in ("pallas", "xla"), \
-            "tune on 'tpu' must pin a measured winner, not 'auto'"
+        assert eng.dispatch in ("pallas", "xla", "auto")
+
+    def test_slope_measure_reports_contrast_and_jitter(self):
+        """Deterministic timer: contrast = gap of marginals, jitter = the
+        per-cell min-settledness floor (two smallest samples' gap)."""
+        from go_audio_resampler_tpu.engine.streaming import _slope_measure
+
+        clock = [0.0]
+
+        def timer():
+            return clock[0]
+
+        def mk(fixed, per_step):
+            def f(n):
+                clock[0] += fixed + per_step * n
+            return f
+
+        fns = {"fast": mk(1.0, 0.001), "slow": mk(1.0, 0.002)}
+        winner, contrast, jitter = _slope_measure(fns, (4, 36), timer=timer)
+        assert winner == "fast"
+        assert contrast == pytest.approx(0.001 * 32)
+        assert jitter == pytest.approx(0.0)     # noiseless timer
 
 
 class TestPerEnginePrecisionPin:
@@ -340,6 +366,61 @@ class TestPerEnginePrecisionPin:
 
         plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
         x = np.random.default_rng(73).standard_normal((1, 5000)) * 0.5
+        outs = {}
+        for pin in ("highest", "default"):
+            eng = EngineCore(plan, batch=1, block=512, dtype=np.float64,
+                             precision=pin)
+            outs[pin] = np.concatenate([eng.process(x), eng.flush()],
+                                       axis=1)
+        np.testing.assert_array_equal(outs["highest"], outs["default"])
+
+    def _general_engine_jaxpr(self, precision):
+        """Jaxpr of the general (non-exact) two-stage walk's step with a
+        per-engine pin — round-5: the pin now covers the non-banded
+        topologies (prestage conv + poly emit), not just the fused
+        banded steps."""
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48001.0, Quality.HIGH)
+        assert plan.kind == 'two_stage' and not plan.is_rational_exact
+        eng = EngineCore(plan, batch=2, block=256, dtype=np.float32,
+                         precision=precision)
+        core = eng.core_fn()
+        st0 = eng._init_state()
+        x = jnp.zeros((2, eng.block), jnp.float32)
+        return str(jax.make_jaxpr(core)(st0, x))
+
+    def test_general_walk_pin_overrides_env(self, monkeypatch):
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "default")
+        j = self._general_engine_jaxpr("highest")
+        assert "HIGHEST" in j
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "highest")
+        j2 = self._general_engine_jaxpr("default")
+        assert "HIGHEST" not in j2
+
+    def test_dft_up_pin_overrides_env(self, monkeypatch):
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        monkeypatch.setenv("GAR_TPU_MATMUL_PRECISION", "default")
+        plan = plan_engine(24000.0, 48000.0, Quality.HIGH)
+        assert plan.kind == 'dft_up'
+        eng = EngineCore(plan, batch=2, block=256, dtype=np.float32,
+                         precision="highest")
+        core = eng.core_fn()
+        j = str(jax.make_jaxpr(core)(eng._init_state(),
+                                     jnp.zeros((2, eng.block), jnp.float32)))
+        assert "HIGHEST" in j
+
+    def test_general_engines_with_different_pins_match_on_cpu(self):
+        # Plumbing check on the general topology: the pin must not alter
+        # values off-TPU (f64 path ignores the tier numerically).
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48001.0, Quality.HIGH)
+        x = np.random.default_rng(74).standard_normal((1, 4000)) * 0.5
         outs = {}
         for pin in ("highest", "default"):
             eng = EngineCore(plan, batch=1, block=512, dtype=np.float64,
@@ -416,3 +497,83 @@ class TestTunePersistence:
         assert a._tune_key() == b._tune_key()
         assert a._tune_key() != c._tune_key()
         assert a._tune_key() != d._tune_key()
+
+    def test_key_carries_version_tokens(self):
+        """A pinned winner must not survive kernel rewrites or JAX
+        upgrades that could flip the measured ordering: the cache key
+        folds in both version strings (round-4 advisor finding)."""
+        import jax as _jax
+        import go_audio_resampler_tpu as gar
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=2, block=2048, dtype=np.float32)
+        key = eng._tune_key()
+        assert gar.__version__ in key
+        assert _jax.__version__ in key
+
+
+class TestTuneNoiseRefusal:
+    """Round-5: dispatch='tune' refuses to persist noise — when the
+    marginal-time contrast is below TUNE_NOISE_FACTOR x the jitter
+    floor, the engine pins 'auto' and writes nothing (round-4 verdict
+    item 5: never freeze a coin flip into the machine-wide cache)."""
+
+    def _tune_with_fake_measure(self, monkeypatch, tmp_path, contrast,
+                                jitter):
+        import jax as _jax
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.engine import streaming as strm
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        cache = tmp_path / "tune.json"
+        monkeypatch.setenv("GAR_TUNE_CACHE_FILE", str(cache))
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            strm, "_slope_measure",
+            lambda fns, depths, iters=5, timer=None:
+                ("pallas", contrast, jitter))
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        eng = EngineCore(plan, batch=1, block=512, dtype=np.float32,
+                         dispatch="tune")
+        return eng, cache
+
+    def test_low_contrast_falls_back_and_does_not_write(self, monkeypatch,
+                                                        tmp_path):
+        eng, cache = self._tune_with_fake_measure(
+            monkeypatch, tmp_path, contrast=1e-6, jitter=1e-3)
+        assert eng.dispatch == "auto"
+        assert not cache.exists(), "low-contrast tune must persist nothing"
+
+    def test_high_contrast_pins_and_records_margin(self, monkeypatch,
+                                                   tmp_path):
+        import json
+
+        eng, cache = self._tune_with_fake_measure(
+            monkeypatch, tmp_path, contrast=1e-2, jitter=1e-4)
+        assert eng.dispatch == "pallas"
+        entry = list(json.loads(cache.read_text()).values())[0]
+        assert entry["winner"] == "pallas"
+        assert entry["contrast_s"] == pytest.approx(1e-2)
+        assert entry["jitter_s"] == pytest.approx(1e-4)
+
+    def test_dict_cache_entry_resolves_winner(self, monkeypatch, tmp_path):
+        """A later engine reads the dict-form entry's winner (and a
+        legacy bare-string entry still resolves)."""
+        import jax as _jax
+        from go_audio_resampler_tpu.engine import EngineCore, plan_engine
+        from go_audio_resampler_tpu.engine import streaming as strm
+        from go_audio_resampler_tpu.filterdesign import Quality
+
+        monkeypatch.setenv("GAR_TUNE_CACHE_FILE",
+                           str(tmp_path / "tune.json"))
+        plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+        probe = EngineCore(plan, batch=2, block=2048, dtype=np.float32)
+        strm._tune_cache_put(probe._tune_key(),
+                             {"winner": "xla", "contrast_s": 1e-2,
+                              "jitter_s": 1e-4})
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        eng = EngineCore(plan, batch=2, block=2048, dtype=np.float32,
+                         dispatch="tune")
+        assert eng.dispatch == "xla"

@@ -85,6 +85,25 @@ class TestFunctional:
         with pytest.raises(TypeError, match="Tensor"):
             F.resample(np.zeros(10), 44100, 48000)
 
+    def test_f64_without_x64_warns_and_degrades(self):
+        """Without jax_enable_x64 a float64 tensor would silently compute
+        at float32; the shim warns and degrades explicitly, mirroring
+        soxr_compat._compute_dtype (round-4 advisor finding)."""
+        import jax as _jax
+
+        x = torch.from_numpy(
+            (RNG.standard_normal(2000) * 0.5).astype(np.float64))
+        _jax.config.update("jax_enable_x64", False)
+        try:
+            with pytest.warns(UserWarning, match="jax_enable_x64"):
+                y = F.resample(x, 44100, 48000)
+        finally:
+            _jax.config.update("jax_enable_x64", True)
+        assert y.dtype == torch.float64      # caller's dtype is honored
+        ref = _native(x.numpy(), 44100.0, 48000.0, gar.QualityPreset.HIGH)
+        # f32 compute: close to the f64 reference but not bit-equal
+        np.testing.assert_allclose(y.numpy(), ref, rtol=0, atol=1e-5)
+
     def test_quality_keyword(self):
         x = (RNG.standard_normal(4000) * 0.5).astype(np.float64)
         y = F.resample(torch.from_numpy(x), 44100, 48000,
