@@ -39,7 +39,17 @@ winner; both slopes are recorded in the JSON line when both ran.
 A third, informational phase measures the 1-pass bf16 ingest tier
 (``slope_ingest_tier``, ~72 Gs/s measured; THD −70.6 dB pinned in
 QUALITY_tpu.json) when budget remains — it never alters the headline,
-which stays at full quality parity.
+which stays at full quality parity.  Two further informational phases
+track the other flagship paths so per-round regressions on them are
+driver-visible (round-4 verdict item 8): ``slope_ml_ingest`` (the
+integer-decimation step of the 256-stream 48k->16k BASELINE config)
+and ``slope_general`` (the non-exact-ratio 44.1k->48,001 streaming
+walk).
+
+Every slope carries roofline fields (``roofline*``: tflops_achieved,
+mfu_pct, mfu_slot_pct, hbm_gbps, bound) computed from the step's
+static matrix dims — see utils/roofline.py.  flops/sample is a
+compile-time constant, so the accounting costs nothing at run time.
 
 Quality parity lives in the hardware artifact (QUALITY_tpu.json / ``make
 quality-tpu``), not here — bench compiles exactly the programs it times.
@@ -211,6 +221,8 @@ def main() -> None:
     from go_audio_resampler_tpu.engine.oneshot import _fused_rational_matrix
     from go_audio_resampler_tpu.engine.streaming import _step_rational_fused
     from go_audio_resampler_tpu.filterdesign import Quality
+    from go_audio_resampler_tpu.utils.roofline import (analyze, banded_model,
+                                                       device_peaks)
 
     try:
         backend = _backend_with_retry()
@@ -233,6 +245,22 @@ def main() -> None:
     x_np = rng.normal(size=(s, blk)).astype(np.float32) * 0.5
     d_samples = (n_hi - n_lo) * s * blk
     baseline = 1000.0  # Msamples/sec/chip north star
+
+    # Roofline accounting: flops/sample is static per plan (the banded
+    # matrix dims), so every slope can say which resource binds it.
+    peaks = device_peaks()
+    headline_tier = os.environ.get("GAR_TPU_MATMUL_PRECISION",
+                                   "highest").lower()
+    model_by_dispatch = {
+        # Pallas DMA framing re-reads only the inter-tile overlap;
+        # XLA materializes overlapping frames (wx/ipx reads of x).
+        "pallas": banded_model(p2, wx, ipx),
+        "xla": banded_model(p2, wx, ipx, read_amp=wx / ipx),
+    }
+
+    def _roofline(val: float, dispatch: str, tier: str) -> dict:
+        return analyze(val, model_by_dispatch[dispatch], tier=tier,
+                       peaks=peaks)
 
     def make(dispatch: str):
         """One compiled program per dispatch: dynamic-depth block chain.
@@ -280,7 +308,8 @@ def main() -> None:
             _RESULT.update(value=round(s, 1),
                            vs_baseline=round(s / baseline, 3),
                            dispatch="xla", slope_xla=round(s, 1),
-                           status=status)
+                           status=status,
+                           roofline=_roofline(s, "xla", headline_tier))
 
     # Provisional headline after ONE interleaved pass (a degraded tunnel
     # can spend 30+ s per round trip; if the watchdog fires later, the
@@ -309,7 +338,8 @@ def main() -> None:
             _RESULT.update(value=round(val, 1),
                            vs_baseline=round(val / baseline, 3),
                            dispatch=best, slope_xla=round(s_xla, 1),
-                           slope_pallas=round(s_pl, 1), status="ok")
+                           slope_pallas=round(s_pl, 1), status="ok",
+                           roofline=_roofline(val, best, headline_tier))
         except Exception as e:               # Pallas failure: keep XLA number
             _RESULT["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -336,8 +366,11 @@ def main() -> None:
                          ("ingest", n_hi): ing[n_hi]}
                 float(fns_i[("ingest", n_hi)]())     # compile
                 mins_i = _min_times(fns_i, iters=8)
-                _RESULT["slope_ingest_tier"] = round(
-                    slope(mins_i, "ingest"), 1)
+                s_ing = slope(mins_i, "ingest")
+                _RESULT["slope_ingest_tier"] = round(s_ing, 1)
+                if s_ing > 0:
+                    _RESULT["roofline_ingest"] = _roofline(
+                        s_ing, "pallas", "default")
             finally:
                 if _prev_tier is None:
                     os.environ.pop("GAR_TPU_MATMUL_PRECISION", None)
@@ -347,6 +380,76 @@ def main() -> None:
                 _pf.fused_resample_pallas.clear_cache()
         except Exception as e:
             _RESULT["ingest_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Phases 4-5 (informational, never touch the headline): the other
+    # flagship paths, driver-tracked so per-round regressions on them are
+    # visible without a by-hand run_all.py session (round-4 verdict
+    # item 8): the ML-ingest integer-decimation step (BASELINE config 5)
+    # and the general non-exact-ratio streaming walk.
+    def _chain_slope(core, st0, x, depths):
+        """Depth slope of a chained core_fn — same methodology as the
+        headline: one compiled dynamic-trip-count program, minimum over
+        interleaved timings, marginal samples / marginal time."""
+        @jax.jit
+        def f(n, xx):
+            def body(_, val):
+                st, acc = val
+                st2, y, _n = core(st, xx)
+                return (st2, acc + jnp.sum(y))
+            _, acc = lax.fori_loop(0, n, body, (st0, jnp.float32(0)))
+            return acc
+
+        lo, hi = depths
+        fns = {lo: lambda: f(lo, x), hi: lambda: f(hi, x)}
+        float(fns[hi]())                  # compile (one program)
+        mins = _min_times(fns, iters=6)
+        tlo, thi = mins[lo], mins[hi]
+        if not (np.isfinite(tlo) and np.isfinite(thi)):
+            return 0.0
+        return (hi - lo) * x.shape[0] * x.shape[1] / max(thi - tlo,
+                                                         1e-9) / 1e6
+
+    if on_tpu and _remaining() > max(2.5 * compile_s, 120.0):
+        try:
+            from go_audio_resampler_tpu.engine.streaming import EngineCore
+            plan_d = plan_engine(48000.0, 16000.0, Quality.HIGH)
+            eng_d = EngineCore(plan_d, batch=256, block=2048,
+                               dtype=jnp.float32)
+            x_d = jnp.asarray(rng.normal(
+                size=(256, eng_d.block)).astype(np.float32) * 0.5)
+            s_d = _chain_slope(eng_d.core_fn(), eng_d._init_state(), x_d,
+                               (8, 136))
+            if s_d > 0:
+                _RESULT["slope_ml_ingest"] = round(s_d, 1)
+                m_d = banded_model(eng_d._decim_p2, eng_d._decim_wx,
+                                   eng_d._decim_ipx)
+                _RESULT["roofline_ml_ingest"] = analyze(
+                    s_d, m_d, tier=headline_tier, peaks=peaks)
+        except Exception as e:
+            _RESULT["ml_ingest_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if on_tpu and _remaining() > max(2.5 * compile_s, 120.0):
+        try:
+            from go_audio_resampler_tpu.engine.streaming import EngineCore
+            from go_audio_resampler_tpu.utils.roofline import general_model
+            plan_g = plan_engine(44100.0, 48001.0, Quality.HIGH)
+            eng_g = EngineCore(plan_g, batch=256, block=2048,
+                               dtype=jnp.float32)
+            x_g = jnp.asarray(rng.normal(
+                size=(256, eng_g.block)).astype(np.float32) * 0.5)
+            s_g = _chain_slope(eng_g.core_fn(), eng_g._init_state(), x_g,
+                               (8, 136))
+            if s_g > 0:
+                _RESULT["slope_general"] = round(s_g, 1)
+                m_g = general_model(
+                    factor=plan_g.factor, pre_taps=plan_g.pre_taps,
+                    poly_taps=plan_g.poly_taps,
+                    num_phases=plan_g.num_phases, step_hi=plan_g.step_hi,
+                    block=eng_g.block, poly_cap=eng_g.poly_cap)
+                _RESULT["roofline_general"] = analyze(
+                    s_g, m_g, tier=headline_tier, peaks=peaks)
+        except Exception as e:
+            _RESULT["general_error"] = f"{type(e).__name__}: {e}"[:200]
 
     _emit()
 

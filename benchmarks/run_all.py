@@ -63,6 +63,74 @@ def slope_msps(make_fn, s_small, s_large, n):
     return (s_large - s_small) * n / dt / 1e6
 
 
+def roofline_annotations(results: dict) -> dict:
+    """MFU/roofline fields for the device-step rows (utils/roofline.py).
+
+    Each timed device program is a banded matmul with static dims, so a
+    measured Msamples/s converts to achieved Tflop/s, % of the precision
+    tier's effective MXU peak, implied HBM GB/s, and a named binding
+    resource.  Host-inclusive rows (pipeline_*, streaming_e2e_*,
+    streaming_pipelined_*) are transport-bound by construction and get
+    no roofline — their ceiling is the tunnel, quantified separately by
+    the transport microbenchmark rows.
+    """
+    from go_audio_resampler_tpu.engine import plan_engine
+    from go_audio_resampler_tpu.engine.oneshot import (
+        PALLAS_DECIM_PERIOD, _decim_matrix, _fused_rational_matrix,
+        superframe)
+    from go_audio_resampler_tpu.filterdesign import Quality
+    from go_audio_resampler_tpu.utils.roofline import (
+        analyze, banded_model, device_peaks, general_model)
+
+    peaks = device_peaks()
+    out = {}
+
+    def put(row, model, tier):
+        if results.get(row):
+            out[row] = analyze(results[row], model, tier=tier, peaks=peaks)
+
+    plan = plan_engine(44100.0, 48000.0, Quality.HIGH)
+    r, p2, ipx, _lam = _fused_rational_matrix(plan)
+    m_serving = banded_model(p2, r.shape[1], ipx)
+    put("streaming_44k_48k_fused_step", m_serving, "highest")
+    # The HIGH tier auto-routes to XLA (frames materialized: wx/ipx reads).
+    put("streaming_fused_step_fast_tier",
+        banded_model(p2, r.shape[1], ipx, read_amp=r.shape[1] / ipx),
+        "high")
+    put("streaming_fused_step_ingest_tier", m_serving, "default")
+
+    if results.get("ml_ingest_256x_48k_16k"):
+        plan_d = plan_engine(48000.0, 16000.0, Quality.HIGH)
+        rd, pd, ipxd = _decim_matrix(plan_d, PALLAS_DECIM_PERIOD)
+        put("ml_ingest_256x_48k_16k",
+            banded_model(pd, rd.shape[1], ipxd), "highest")
+
+    if results.get("streaming_general_step_44k_48k001"):
+        from go_audio_resampler_tpu.engine.streaming import EngineCore
+        plan_g = plan_engine(44100.0, 48001.0, Quality.HIGH)
+        eng_g = EngineCore(plan_g, batch=1, block=2048)
+        put("streaming_general_step_44k_48k001",
+            general_model(factor=plan_g.factor, pre_taps=plan_g.pre_taps,
+                          poly_taps=plan_g.poly_taps,
+                          num_phases=plan_g.num_phases,
+                          step_hi=plan_g.step_hi, block=eng_g.block,
+                          poly_cap=eng_g.poly_cap), "highest")
+
+    for in_rate, row in ((48000, "pipeline_fused_step_48k_8k"),
+                         (192000, "pipeline_fused_step_192k_8k")):
+        if results.get(row):
+            import go_audio_resampler_tpu as gar
+            rr = gar.new_resampler(gar.Config(
+                in_rate, 8000, channels=1, max_input_size=8192,
+                quality=gar.get_preset_spec(gar.QualityPreset.HIGH),
+                dtype=np.float32))
+            eng = rr._fused
+            if eng is not None:
+                put(row, banded_model(eng._banded_p2, eng._banded_wx,
+                                      eng._banded_ipx), "highest")
+    return out
+
+
 def main() -> None:
     import os
     import sys
@@ -495,6 +563,64 @@ def main() -> None:
         results["streaming_pipelined_e2e_44k_48k"] = \
             chunk_slope(make_pipe, "pipelined")
 
+    # 8g. TRANSPORT microbenchmark: raw host->device / device->host
+    # bandwidth through this session's link, measured min-of-N on a size
+    # slope (cancels the fixed per-call latency, same discipline as every
+    # other row).  The host e2e rows above are claimed transport-bound;
+    # this row turns that from prose into data — results.json carries the
+    # measured MB/s and the DERIVED Ms/s ceiling for the pipelined loop
+    # (4 B/sample up + 4*ratio B/sample down, f32), so the gap between
+    # streaming_pipelined_e2e_44k_48k and its ceiling is inspectable.
+    transport = {}
+    if wanted("transport"):
+        small_b, large_b = 4 << 20, 36 << 20
+
+        def t_up(nbytes):
+            a = rng.normal(size=nbytes // 4).astype(np.float32)
+            ts = []
+            for _ in range(8):
+                t0 = time.perf_counter()
+                jax.block_until_ready(jax.device_put(a))
+                ts.append(time.perf_counter() - t0)
+            return float(np.min(ts))
+
+        def t_down(nbytes):
+            # Distinct device arrays per iteration: jax.Array caches its
+            # host copy after the first download, so re-downloading one
+            # array would time the cache, not the link.
+            base = jax.device_put(
+                rng.normal(size=nbytes // 4).astype(np.float32))
+            ds = [jax.block_until_ready(base + np.float32(i))
+                  for i in range(8)]
+            ts = []
+            for d in ds:
+                t0 = time.perf_counter()
+                np.asarray(d)
+                ts.append(time.perf_counter() - t0)
+            return float(np.min(ts))
+
+        d_mb = (large_b - small_b) / 1e6
+        up_mbps = d_mb / max(t_up(large_b) - t_up(small_b), 1e-9)
+        down_mbps = d_mb / max(t_down(large_b) - t_down(small_b), 1e-9)
+        ratio = 48000.0 / 44100.0
+        # Serial ceiling: every input sample moves 4 B up then 4*ratio B
+        # down.  Overlapped ceiling: the pipelined loop hides the slower
+        # direction under compute+the other direction at best, so the
+        # bound is the busier single direction.
+        serial = 1.0 / (4.0 / (up_mbps * 1e6)
+                        + 4.0 * ratio / (down_mbps * 1e6)) / 1e6
+        overlapped = min(up_mbps * 1e6 / 4.0,
+                         down_mbps * 1e6 / (4.0 * ratio)) / 1e6
+        transport = {
+            "upload_MBps": round(up_mbps, 1),
+            "download_MBps": round(down_mbps, 1),
+            "e2e_44k_48k_f32_ceiling_serial_msps": round(serial, 2),
+            "e2e_44k_48k_f32_ceiling_overlapped_msps": round(overlapped, 2),
+        }
+        print(f"    [transport up={up_mbps:.0f} MB/s down={down_mbps:.0f} "
+              f"MB/s -> e2e ceiling serial={serial:.1f} "
+              f"overlapped={overlapped:.1f} Ms/s]", flush=True)
+
     # 9. FFT overlap-save vs banded-matmul decimation (paired): the FFT
     # lowering's throughput is length-independent; the matmul path wins
     # at production prototype lengths (see engine/fftstage.py docstring).
@@ -590,6 +716,7 @@ def main() -> None:
     for k, v in results.items():
         print(f"{k}: {v:.0f} Msamples/s")
     out = pathlib.Path(__file__).parent / "results.json"
+    rooflines = roofline_annotations(results)
     merged = {}
     if out.exists():
         prev = json.loads(out.read_text())
@@ -603,9 +730,26 @@ def main() -> None:
         else:
             merged = prev.get("results", {})
     merged.update({k: round(v, 1) for k, v in results.items()})
+    merged_roof = {}
+    if out.exists():
+        try:
+            merged_roof = json.loads(out.read_text()).get("roofline", {})
+        except Exception:
+            merged_roof = {}
+    merged_roof.update(rooflines)
+    merged_transport = {}
+    if out.exists():
+        try:
+            merged_transport = json.loads(out.read_text()).get(
+                "transport", {})
+        except Exception:
+            merged_transport = {}
+    merged_transport.update(transport)
     out.write_text(json.dumps(
         {"unit": "Msamples/s input throughput per chip",
-         "backend": jax.default_backend(), "results": merged}, indent=2))
+         "backend": jax.default_backend(), "results": merged,
+         "roofline": merged_roof, "transport": merged_transport},
+        indent=2))
     print(f"wrote {out}")
 
 
