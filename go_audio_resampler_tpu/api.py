@@ -176,6 +176,16 @@ class Config:
     # tier, ~-70 dB THD at 3.5x throughput).  Part of the step's static
     # jit key, so engines on different tiers coexist in one process.
     precision: str = 'auto'
+    # TPU-native extension (beyond reference): high-quality inter-phase
+    # mode for non-exact-ratio stages — corrects the reference's
+    # phase-bank boundary wrap (a ~-88 dB THD floor on the general walk,
+    # filterdesign/params.cubic_phase_banks docstring) and densifies the
+    # banks 8x, dropping general-path THD to the filter's own floor
+    # (measured -162 dB f64 on 44.1k->48,001 HIGH vs -87.7 default).
+    # Zero runtime cost (same taps-per-phase and device shapes); only
+    # bank memory and one-time host design time grow.  Default False =
+    # bit-exact reference parity.
+    hq_interp: bool = False
 
     def validate(self) -> None:
         """resample.go:168-191."""
@@ -282,7 +292,7 @@ class StubEngine:
 
 def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
                   strict_antialias: bool = False, dispatch: str = 'auto',
-                  precision: str = 'auto'):
+                  precision: str = 'auto', hq_interp: bool = False):
     """Create the sub-engine realizing a StageSpec (stages.go:21-119).
 
     Half-band stages are polyphase engines with factor 2 (stages.go:31-44);
@@ -298,7 +308,7 @@ def _stage_engine(spec: StageSpec, channels: int, block: int, dtype,
     q = precision_to_engine_quality(spec.quality)
     try:
         plan = plan_engine(48000.0, 48000.0 * spec.ratio, q,
-                           strict_antialias)
+                           strict_antialias, hq_interp)
     except (ValueError, ZeroDivisionError):
         return StubEngine(spec.ratio, channels, dtype)
     return EngineCore(plan, batch=channels, block=block, dtype=dtype,
@@ -352,7 +362,8 @@ class Resampler:
                                & QualityFlags.ALLOW_ALIASING))
         self._engines = [
             _stage_engine(spec, config.channels, block, self.dtype,
-                          strict, config.dispatch, config.precision)
+                          strict, config.dispatch, config.precision,
+                          config.hq_interp)
             for spec in self.pipeline.stages]
         if not self._engines:
             # ratio within tolerance of 1.0: identity pipeline

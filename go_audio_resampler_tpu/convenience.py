@@ -95,10 +95,10 @@ class _SimpleBase:
     def __init__(self, input_rate: float, output_rate: float,
                  quality: QualityPreset, block: int = 2048, batch: int = 1,
                  strict_antialias: bool = False, dispatch: str = 'auto',
-                 precision: str = 'auto'):
+                 precision: str = 'auto', hq_interp: bool = False):
         engine_quality = preset_to_engine_quality(quality)
         self.plan = plan_engine(float(input_rate), float(output_rate),
-                                engine_quality, strict_antialias)
+                                engine_quality, strict_antialias, hq_interp)
         self.engine = EngineCore(self.plan, batch=batch, block=block,
                                  dtype=self._dtype, dispatch=dispatch,
                                  precision=precision)
@@ -178,16 +178,23 @@ class SimpleResamplerFloat32(_SimpleBase):
 
 
 def new_engine(input_rate: float, output_rate: float,
-               quality: QualityPreset = QualityPreset.HIGH) -> SimpleResampler:
-    """Direct-engine float64 resampler (NewEngine, convenience.go:122-132)."""
-    return SimpleResampler(input_rate, output_rate, quality)
+               quality: QualityPreset = QualityPreset.HIGH,
+               hq_interp: bool = False) -> SimpleResampler:
+    """Direct-engine float64 resampler (NewEngine, convenience.go:122-132).
+
+    ``hq_interp`` (beyond reference, non-exact ratios only): corrected
+    phase-bank boundary + 8x denser banks — see api.Config.hq_interp.
+    """
+    return SimpleResampler(input_rate, output_rate, quality,
+                           hq_interp=hq_interp)
 
 
 def new_engine_float32(input_rate: float, output_rate: float,
-                       quality: QualityPreset = QualityPreset.HIGH
-                       ) -> SimpleResamplerFloat32:
+                       quality: QualityPreset = QualityPreset.HIGH,
+                       hq_interp: bool = False) -> SimpleResamplerFloat32:
     """Direct-engine float32 resampler (convenience.go:319-336)."""
-    return SimpleResamplerFloat32(input_rate, output_rate, quality)
+    return SimpleResamplerFloat32(input_rate, output_rate, quality,
+                                  hq_interp=hq_interp)
 
 
 def new_variable_rate(input_rate: float, max_output_rate: float, *,

@@ -186,15 +186,33 @@ class EnginePlan:
         }[self.kind]
 
 
+#: Phase-bank densification factor for the opt-in HQ inter-phase mode:
+#: cubic interpolation error scales ~(1/L)^4, so 8x denser banks buy
+#: ~+72 dB of inter-phase accuracy at zero runtime cost (same
+#: taps-per-phase, same gather+Horner+dot device shape; only bank bytes
+#: and host design time grow).  Beyond-reference: the reference caps L
+#: at 256 via libsoxr's 8191-tap design-library limit
+#: (filter_params.go:575-627).
+HQ_PHASE_MULT = 8
+
+
 @functools.lru_cache(maxsize=256)
 def plan_engine(input_rate: float, output_rate: float,
                 quality: fdp.Quality,
-                strict_antialias: bool = False) -> EnginePlan:
+                strict_antialias: bool = False,
+                hq_interp: bool = False) -> EnginePlan:
     """Select topology and design all stage filters (resampler.go:51-179).
 
     Memoized: repeated construction with the same configuration returns the
     identical plan object, so jit caches keyed on plan identity hit.
     Treat the returned plan (including its arrays) as immutable.
+
+    ``hq_interp`` (beyond reference, opt-in): densify the polyphase
+    inter-phase banks by HQ_PHASE_MULT for non-exact-rational ratios,
+    pushing the general walk's interpolation floor from ~-89 dB THD to
+    the filter's own floor.  No-op for exact-rational ratios (their walk
+    never interpolates; the fused matrix path is already exact) and for
+    the cubic/dft_up/decimate topologies (no inter-phase banks).
     """
     if not (math.isfinite(input_rate) and math.isfinite(output_rate)):
         raise EngineConfigError(
@@ -255,9 +273,16 @@ def plan_engine(input_rate: float, output_rate: float,
         has_pre = False  # resampler.go:166-169: preM=0 in soxr terms
 
     num_phases, _ = fdp.find_rational_approx(poly_ratio)
+    hq_phases = 0
+    if hq_interp:
+        step_probe = fdp.polyphase_step(poly_ratio, num_phases)
+        if step_probe & fdp.PHASE_FRAC_MASK:   # walk actually interpolates
+            hq_phases = num_phases * HQ_PHASE_MULT
     bank = fdp.design_polyphase_filter(num_phases, poly_ratio, total_io,
-                                       has_pre, quality)
-    A, B, C, D = fdp.cubic_phase_banks(bank)
+                                       has_pre, quality,
+                                       hq_phases=hq_phases)
+    num_phases = bank.num_phases
+    A, B, C, D = fdp.cubic_phase_banks(bank, correct_wrap=hq_interp)
     step = fdp.polyphase_step(poly_ratio, num_phases)
 
     aa_coeffs, aa_taps = None, 0

@@ -113,6 +113,32 @@ def bessel_i0(x: float) -> float:
     return _exp(ax) * acc / math.sqrt(ax)
 
 
+def bessel_i0_array(x):
+    """Vectorized I0 over a float64 numpy array.
+
+    Same Chebyshev polynomials and evaluation order as :func:`bessel_i0`
+    (elementwise results match the scalar path up to libm-vs-numpy exp/
+    sqrt rounding, <=1 ulp).  Used by the long-window fast path of
+    kaiser_window — the HQ inter-phase mode designs 10^4..10^5-tap
+    prototypes, where the scalar per-tap loop costs seconds.
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    ax = np.abs(x)
+    t_small = (x / _SMALL_ARG) ** 2
+    c1, c2, c3, c4, c5, c6 = _I0_SMALL
+    small = 1.0 + t_small * (c1 + t_small * (
+        c2 + t_small * (c3 + t_small * (c4 + t_small * (c5 + t_small * c6)))))
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        t_large = np.where(ax > 0, _SMALL_ARG / np.maximum(ax, 1e-300), 0.0)
+        acc = np.full_like(t_large, _I0_LARGE[-1])
+        for c in reversed(_I0_LARGE[:-1]):
+            acc = c + t_large * acc
+        large = np.exp(ax) * acc / np.sqrt(np.maximum(ax, 1e-300))
+    return np.where(ax < _SMALL_ARG, small, large)
+
+
 def bessel_i1(x: float) -> float:
     """Modified Bessel function of the first kind, order one, I1(x).
 

@@ -45,13 +45,13 @@ class FilterParams:
     attenuation: float
     gain: float = 1.0
 
-    def validate(self) -> None:
+    def validate(self, max_taps: int = MAX_FILTER_TAPS) -> None:
         if self.num_taps < MIN_FILTER_TAPS:
             raise FilterDesignError(
                 f"filter too short: {self.num_taps} taps (minimum {MIN_FILTER_TAPS})")
-        if self.num_taps > MAX_FILTER_TAPS:
+        if self.num_taps > max_taps:
             raise FilterDesignError(
-                f"filter too long: {self.num_taps} taps (maximum {MAX_FILTER_TAPS})")
+                f"filter too long: {self.num_taps} taps (maximum {max_taps})")
         if not (0.0 < self.cutoff_freq < 0.5):
             raise FilterDesignError(
                 f"invalid cutoff frequency: {self.cutoff_freq} (must be in (0, 0.5))")
@@ -78,6 +78,14 @@ def kaiser_window(length: int, beta: float) -> np.ndarray:
     beta = abs(beta)
     alpha = (length - 1) / 2.0
     i0_beta = bessel.bessel_i0(beta)
+    if length > MAX_FILTER_TAPS and math.isfinite(i0_beta):
+        # Long-window fast path (HQ inter-phase prototypes run to 10^5
+        # taps; the scalar loop costs seconds there).  Reference-parity
+        # lengths (<= 8191) keep the scalar loop bit-for-bit.
+        n = np.arange(length, dtype=np.float64)
+        x = (n - alpha) / alpha
+        arg = beta * np.sqrt(np.maximum(0.0, 1.0 - x * x))
+        return bessel.bessel_i0_array(arg) / i0_beta
     out = np.empty(length, dtype=np.float64)
     for n in range(length):
         x = (n - alpha) / alpha
@@ -90,12 +98,16 @@ def kaiser_window(length: int, beta: float) -> np.ndarray:
     return out
 
 
-def design_lowpass(params: FilterParams) -> np.ndarray:
+def design_lowpass(params: FilterParams,
+                   max_taps: int = MAX_FILTER_TAPS) -> np.ndarray:
     """Windowed-sinc lowpass FIR, DC gain normalized to ``params.gain``.
 
-    Reference parity: kaiser.go:159-203.
+    Reference parity: kaiser.go:159-203.  ``max_taps`` lifts the
+    reference's 8191-tap library bound for the beyond-reference HQ
+    inter-phase mode (the bound mirrors libsoxr's design API, not a
+    numerical constraint; the window/sinc math is length-agnostic).
     """
-    params.validate()
+    params.validate(max_taps=max_taps)
     beta = bessel.kaiser_beta(params.attenuation)
     window = kaiser_window(params.num_taps, beta)
     n = np.arange(params.num_taps, dtype=np.float64)

@@ -317,12 +317,24 @@ def design_polyphase_filter(
     total_io_ratio: float,
     has_pre_stage: bool,
     quality: Quality,
+    hq_phases: int = 0,
 ) -> PolyphaseFilter:
     """Design the polyphase prototype and decompose into phases.
 
     Prototype DC gain is normalized to ``num_phases`` so each phase has DC
     gain ~1.0.  Reference parity: designPolyphaseFilter
     (filter_params.go:229-286).
+
+    ``hq_phases`` (> num_phases) samples the SAME continuous prototype at
+    a denser phase grid: cutoff and transition band scale by
+    num_phases/hq_phases while taps-per-phase stays fixed, so the filter's
+    frequency response is unchanged but the cubic inter-phase
+    interpolation error drops ~(num_phases/hq_phases)^4 (the beyond-
+    reference opt-in mode; the reference caps L at 256 via libsoxr's
+    8191-tap design limit, filter_params.go:575-627 — a design-time-only
+    constraint that does not bind here).  Runtime per-output work is
+    unchanged (same taps_per_phase, same gather+Horner+dot shape); only
+    bank memory and host design time grow.
     """
     attenuation = quality_to_attenuation(quality)
     passband_end = quality_to_passband_end(quality)
@@ -333,19 +345,31 @@ def design_polyphase_filter(
     cutoff = params.fc / 2.0  # soxr [0,1] scale -> our [0,0.5]
     cutoff = min(max(cutoff, 0.001), 0.499)
 
-    prototype = kaiser.design_lowpass(kaiser.FilterParams(
-        num_taps=params.total_taps, cutoff_freq=cutoff,
-        attenuation=attenuation, gain=1.0))
+    design_phases = num_phases
+    total_taps = params.total_taps
+    if hq_phases > num_phases:
+        # Same continuous filter, denser phase sampling: the per-phase
+        # geometry (taps_per_phase, per-output runtime cost) is invariant.
+        scale = num_phases / hq_phases
+        cutoff = max(cutoff * scale, 1e-6)
+        design_phases = hq_phases
+        total_taps = hq_phases * params.taps_per_phase - 1
+
+    prototype = kaiser.design_lowpass(
+        kaiser.FilterParams(num_taps=total_taps, cutoff_freq=cutoff,
+                            attenuation=attenuation, gain=1.0),
+        max_taps=max(kaiser.MAX_FILTER_TAPS, total_taps))
 
     total = float(prototype.sum())
     if total != 0.0:
-        prototype = prototype * (num_phases / total)
+        prototype = prototype * (design_phases / total)
 
-    coeffs = np.zeros(params.taps_per_phase * num_phases, dtype=np.float64)
+    coeffs = np.zeros(params.taps_per_phase * design_phases,
+                      dtype=np.float64)
     n = len(prototype)
     # coeffs[tap * L + phase] = prototype[tap * L + phase]  (zero-padded)
     coeffs[:min(len(coeffs), n)] = prototype[:min(len(coeffs), n)]
-    return PolyphaseFilter(coeffs=coeffs, num_phases=num_phases,
+    return PolyphaseFilter(coeffs=coeffs, num_phases=design_phases,
                            taps_per_phase=params.taps_per_phase)
 
 
@@ -359,8 +383,9 @@ def polyphase_step(ratio: float, num_phases: int) -> int:
     return int(round((1.0 / ratio) * num_phases * PHASE_FRAC_SCALE))
 
 
-def cubic_phase_banks(bank: PolyphaseFilter) -> tuple[np.ndarray, np.ndarray,
-                                                      np.ndarray, np.ndarray]:
+def cubic_phase_banks(bank: PolyphaseFilter, correct_wrap: bool = False
+                      ) -> tuple[np.ndarray, np.ndarray,
+                                 np.ndarray, np.ndarray]:
     """Catmull-Rom-style cubic sub-phase coefficient banks A/B/C/D.
 
     coef(x) = a + x*(b + x*(c + x*d)), x in [0,1); phases wrap around for
@@ -368,15 +393,31 @@ def cubic_phase_banks(bank: PolyphaseFilter) -> tuple[np.ndarray, np.ndarray,
     with history windows reproduces the convolution direction.
     Returns arrays of shape [num_phases, taps_per_phase].
     Reference parity: NewPolyphaseStage (polyphase_stage.go:105-154).
+
+    ``correct_wrap`` (beyond reference, used by the HQ interp mode):
+    in the flat layout coeffs[tap*L + phase], the sample that follows
+    phase L-1 of tap t is phase 0 of tap t+1 (the prototype's next flat
+    sample, one whole sample later in the underlying continuous kernel)
+    — NOT phase 0 of the same tap, which sits L flat positions earlier.
+    The reference's getCoeff wraps phase modulo L without the tap shift
+    (polyphase_stage.go:105-117), so the three boundary phases
+    {0, L-2, L-1} interpolate toward coefficients from the wrong kernel
+    position (measured coefficient error up to -2 dB relative to the
+    prototype peak, vs ~-100 dB at interior phases) — this is the
+    ~-88 dB THD floor of the general non-exact path.  With the tap
+    shift, boundary phases interpolate the true neighboring samples and
+    the floor drops to the filter's own response.
     """
     L = bank.num_phases
     T = bank.taps_per_phase
     flat = bank.coeffs
 
     def get(phase: int, tap: int) -> float:
-        wrapped = phase % L
+        q, wrapped = divmod(phase, L)
+        if correct_wrap:
+            tap = tap + q       # crossing the bank boundary advances the tap
         idx = tap * L + wrapped
-        if idx < 0 or idx >= len(flat):
+        if idx < 0 or idx >= len(flat) or tap < 0 or tap >= T:
             return 0.0
         return float(flat[idx])
 

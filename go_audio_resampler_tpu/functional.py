@@ -162,17 +162,19 @@ def _apply(plan: EnginePlan, x2: jax.Array, dtype_name: str) -> jax.Array:
 
 
 def output_length(n: int, input_rate: float, output_rate: float,
-                  quality: QualityPreset = QualityPreset.HIGH) -> int:
+                  quality: QualityPreset = QualityPreset.HIGH,
+                  hq_interp: bool = False) -> int:
     """Canonical output length of ``resample`` for ``n`` input samples."""
-    plan = _plan(float(input_rate), float(output_rate), quality)
+    plan = _plan(float(input_rate), float(output_rate), quality, hq_interp)
     return max(plan.lengths.canonical(int(n)), 0)
 
 
 @functools.lru_cache(maxsize=None)
 def _plan(input_rate: float, output_rate: float,
-          quality: QualityPreset) -> EnginePlan:
+          quality: QualityPreset, hq_interp: bool = False) -> EnginePlan:
     return plan_engine(input_rate, output_rate,
-                       preset_to_engine_quality(quality))
+                       preset_to_engine_quality(quality),
+                       hq_interp=hq_interp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3, 4))
@@ -217,7 +219,7 @@ _linear_op.defvjp(_linear_op_fwd, _linear_op_bwd)
 
 def resample(x, input_rate: float, output_rate: float, *,
              quality: QualityPreset = QualityPreset.HIGH,
-             dtype=None) -> jax.Array:
+             dtype=None, hq_interp: bool = False) -> jax.Array:
     """Resample the last axis of ``x`` — pure, jittable, differentiable.
 
     Args:
@@ -227,13 +229,17 @@ def resample(x, input_rate: float, output_rate: float, *,
       quality: a :class:`QualityPreset` (static).
       dtype: compute dtype; defaults to ``x.dtype`` for float inputs,
         else float32.
+      hq_interp: (beyond reference, static) corrected phase-bank
+        boundary + 8x denser banks for non-exact ratios; see
+        api.Config.hq_interp.  Same device shapes, so gradients and
+        shard_map behavior are unchanged.
 
     Returns:
       ``[..., m]`` with ``m = output_length(n, ...)`` — the canonical
       fully-flushed one-shot stream, equal to
       ``convenience.resample_mono`` per leading index.
     """
-    plan = _plan(float(input_rate), float(output_rate), quality)
+    plan = _plan(float(input_rate), float(output_rate), quality, hq_interp)
     x = jnp.asarray(x)
     if x.ndim == 0:
         raise ValueError("resample expects at least one axis of samples")
