@@ -217,6 +217,91 @@ def main() -> int:
     finally:
         _tier_restore()
 
+    # --- HQ inter-phase mode on hardware (beyond reference, opt-in) ------
+    # The general walk's default floor (-85, pinned above) is the
+    # reference's bank-boundary wrap; hq_interp corrects it (see
+    # filterdesign/params.cubic_phase_banks).  f64 measures -162; on the
+    # f32 device path the floor is the f32 accumulation of the same walk.
+    print("HQ inter-phase mode (hq_interp=True) on device output:")
+    plan_hq = plan_engine(44100.0, 48001.0, Quality.HIGH, False, True)
+    eng_hq = EngineCore(plan_hq, batch=1, block=4096, dtype=np.float32)
+    chunks = [eng_hq.process(xs[None, i:i + 4096])
+              for i in range(0, len(xs), 4096)]
+    chunks.append(eng_hq.flush())
+    y_hq = np.concatenate([c[0] for c in chunks]).astype(np.float64)
+    val = metrics.thd(y_hq, 48001, 1000.0, FFT)
+    record("thd_stream_44k_48k001_hq_interp_db", round(val, 2),
+           val <= -120.0,
+           "floor -120 (round-4 verdict item 3 target; f64 measures "
+           "-162.1, default parity mode measures ~-88)")
+
+    # --- soak / checkpoint-under-load on hardware (verdict item 7) -------
+    # The CPU soak tier (tests/test_soak.py) never ran on TPU; this
+    # bounded (~30-60 s wall) tier streams ~15 s of 8-lane audio through
+    # the f32 device path in RANDOMIZED host chunks, asserts bit-equality
+    # with a bulk-fed twin (same compiled per-block program -> identical
+    # device launches), takes one checkpoint at a random position under
+    # load and resumes bit-identically, and asserts the host-side state
+    # stays bounded.
+    print("Soak tier (randomized chunks, checkpoint under load):")
+    import tempfile
+    import time as _time
+    from go_audio_resampler_tpu.engine import (load_stream_state,
+                                               save_stream_state)
+    t_soak = _time.monotonic()
+    n_soak = 15 * 44100
+    rng_s = np.random.default_rng(7)
+    plan_s = plan_engine(44100.0, 48000.0, Quality.HIGH)
+    x_soak = (rng_s.standard_normal((8, n_soak)) * 0.5).astype(np.float32)
+
+    bulk = EngineCore(plan_s, batch=8, block=8192, dtype=np.float32)
+    y_bulk = np.concatenate([bulk.process(x_soak), bulk.flush()], axis=1)
+
+    # Randomized chunk seams with the checkpoint position forced onto one.
+    cut = int(rng_s.integers(n_soak // 4, 3 * n_soak // 4))
+    cuts = [0]
+    while cuts[-1] < n_soak:
+        cuts.append(min(n_soak, cuts[-1] + int(rng_s.integers(1, 70000))))
+    cuts = sorted(set(cuts + [cut]))
+
+    a = EngineCore(plan_s, batch=8, block=8192, dtype=np.float32)
+    parts = []
+    with tempfile.NamedTemporaryFile(suffix=".npz") as ckf:
+        for lo, hi in zip(cuts, cuts[1:]):
+            parts.append(a.process(x_soak[:, lo:hi]))
+            if hi == cut:
+                save_stream_state(a, ckf.name)
+        y_a = np.concatenate(parts + [a.flush()], axis=1)
+        b = EngineCore(plan_s, batch=8, block=8192, dtype=np.float32)
+        load_stream_state(b, ckf.name)
+    # Replay only the tail through the restored engine; its outputs must
+    # splice bit-identically onto the interrupted stream's transcript.
+    # parts[i] covers (cuts[i], cuts[i+1]); the ck was saved after the
+    # chunk ENDING at cut, i.e. after parts[cuts.index(cut) - 1].
+    n_pre = cuts.index(cut)                  # chunks fully fed before ck
+    pre = np.concatenate(parts[:n_pre], axis=1)
+    tail_cuts = [c for c in cuts if c >= cut]
+    tail = [b.process(x_soak[:, lo:hi])
+            for lo, hi in zip(tail_cuts, tail_cuts[1:])]
+    y_resumed = np.concatenate([pre] + tail + [b.flush()], axis=1)
+
+    d_bulk = (float(np.abs(y_a - y_bulk).max())
+              if y_a.shape == y_bulk.shape else float("inf"))
+    record("soak_random_chunks_equal_bulk_maxdiff", d_bulk, d_bulk == 0.0,
+           f"{len(cuts) - 1} randomized chunks vs one bulk call over "
+           "15 s x 8 lanes, bit-equal (identical compiled launches)")
+    d_ck = (float(np.abs(y_resumed - y_bulk).max())
+            if y_resumed.shape == y_bulk.shape else float("inf"))
+    record("soak_checkpoint_resume_maxdiff", d_ck, d_ck == 0.0,
+           f"checkpoint at sample {cut} under load, restored engine "
+           "splices bit-identically")
+    pend = a._pending.available()
+    cap = getattr(a._pending, "_buf", np.zeros((1, 0))).shape[-1]
+    record("soak_host_state_bounded", int(cap),
+           pend < 2 * a.block and cap <= 8 * max(a.block, 70000),
+           "input FIFO stays bounded over the whole soak")
+    record("soak_wall_s", round(_time.monotonic() - t_soak, 1), True)
+
     out = pathlib.Path(args.out)
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"wrote {out} — {len(failures)} failure(s)")
