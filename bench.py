@@ -72,7 +72,8 @@ _T0 = time.monotonic()
 # Result-so-far: updated in place as phases finish; emitted exactly once.
 _RESULT = {
     "metric": ("Msamples/sec/chip 44.1k->48k QualityHigh batched-streams "
-               "fused step f32 (depth slope 8->264 blocks, best dispatch)"),
+               "fused step f32 (depth slope 8->264 blocks, best "
+               "dispatch/layout)"),
     "value": 0.0,
     "unit": "Msamples/s",
     "vs_baseline": 0.0,
@@ -256,6 +257,12 @@ def main() -> None:
         # XLA materializes overlapping frames (wx/ipx reads of x).
         "pallas": banded_model(p2, wx, ipx),
         "xla": banded_model(p2, wx, ipx, read_amp=wx / ipx),
+        # Time-major layout (engine/tmajor.py): P2 on the 8-granular
+        # sublane axis (no 160->256 lane padding); per-frame DMA reads
+        # the padded window (wx_pad/ipx reads of x).
+        "tmajor": banded_model(p2, wx, ipx,
+                               read_amp=(-(-wx // 128) * 128) / ipx,
+                               p2_granule=8),
     }
 
     def _roofline(val: float, dispatch: str, tier: str) -> dict:
@@ -342,6 +349,56 @@ def main() -> None:
                            roofline=_roofline(val, best, headline_tier))
         except Exception as e:               # Pallas failure: keep XLA number
             _RESULT["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Phase 2b: the TIME-MAJOR layout of the same serving step
+    # (engine/tmajor.py: streams on the MXU lane axis, P2 on sublanes —
+    # removes the 160->256 lane padding the roofline names as the
+    # stream-major bound).  Same resample, same data (transposed);
+    # interleaved against the phase-2 winner so tunnel drift cancels.
+    # A deployment adopts it by storing streams time-major — which
+    # interleaved multi-channel audio already is.
+    if on_tpu and _remaining() > max(2.5 * compile_s, 90.0):
+        try:
+            from go_audio_resampler_tpu.engine.tmajor import \
+                _step_banded_tmajor
+            r_lhs = jnp.asarray(r, dtype=jnp.float32)       # [P2, Wx]
+            xt_np = np.ascontiguousarray(x_np.T)            # [blk, s]
+
+            @jax.jit
+            def ft(n, xtb, rr):
+                def body(_, val):
+                    c, acc = val
+                    c2, y, _n = _step_banded_tmajor(
+                        rr, c, xtb, ipx=ipx, wx=wx, p2=p2)
+                    return (c2, acc + jnp.sum(y))
+                init = (jnp.zeros((carry_len, s), jnp.float32),
+                        jnp.float32(0))
+                _, acc = lax.fori_loop(0, n, body, init)
+                return acc
+
+            xt = jnp.asarray(xt_np)
+            best0 = _RESULT.get("dispatch", "xla")
+            fns_t = {
+                ("tmajor", n_lo): lambda: ft(n_lo, xt, r_lhs),
+                ("tmajor", n_hi): lambda: ft(n_hi, xt, r_lhs),
+                ("best", n_lo): fns[(best0, n_lo)],
+                ("best", n_hi): fns[(best0, n_hi)],
+            }
+            float(fns_t[("tmajor", n_hi)]())      # compile (one program)
+            mins_t = _min_times(fns_t)
+            s_tm = slope(mins_t, "tmajor")
+            s_best = slope(mins_t, "best")
+            _RESULT["slope_tmajor"] = round(s_tm, 1)
+            _RESULT["roofline_tmajor"] = _roofline(s_tm, "tmajor",
+                                                   headline_tier)
+            if s_tm > max(s_best, _RESULT["value"]):
+                _RESULT.update(
+                    value=round(s_tm, 1),
+                    vs_baseline=round(s_tm / baseline, 3),
+                    dispatch="tmajor",
+                    roofline=_RESULT["roofline_tmajor"], status="ok")
+        except Exception as e:
+            _RESULT["tmajor_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # Phase 3 (informational, never touches the headline): the 1-pass
     # bf16 ingest tier's slope, when budget remains.  The tier is read at

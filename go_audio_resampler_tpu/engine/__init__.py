@@ -10,6 +10,7 @@ from .checkpoint import (save_stream_state, load_stream_state,
                          save_vr_state, load_vr_state)
 from .variable import VariableRateResampler
 from .fftstage import fft_oneshot
+from .tmajor import TimeMajorEngine
 
 __all__ = [
     "EnginePlan", "EngineConfigError", "plan_engine", "MIN_RATIO",
@@ -17,5 +18,5 @@ __all__ = [
     "save_stream_state", "load_stream_state", "save_resampler_state",
     "load_resampler_state", "save_vr_state", "load_vr_state",
     "VariableRateResampler",
-    "fft_oneshot",
+    "fft_oneshot", "TimeMajorEngine",
 ]

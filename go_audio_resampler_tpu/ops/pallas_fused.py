@@ -274,6 +274,132 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
     return y3.reshape(s, n_tiles * tf * p2)
 
 
+def _tmajor_kernel(xt_hbm, r_ref, y_ref, win_ref, sem, *, ipx: int,
+                   wx_pad: int, fetch: int, p2: int, ts: int,
+                   tier: str | None = None):
+    """Time-major fused resample: R [P2, Wx_pad] @ window [Wx_pad, TS].
+
+    With x stored TIME-MAJOR ([n, S]) the window of frame j is a
+    contiguous row slab xT[j*ipx : j*ipx + wx_pad, :].  Mosaic requires
+    the DMA's sublane (row) start to be provably 8-divisible — the
+    sublane analog of the lane-dim 128 constraint the stream-major
+    kernel works around — so each fetch starts at the 8-aligned floor,
+    reads ``fetch`` = wx_pad+8 rows, and the (dynamic, <8) residual is
+    removed on-chip with one sublane ``pltpu.roll`` (positive shift
+    ``fetch - off``, as in the rational kernel).
+
+    The matmul puts P2 on the M (sublane) axis, which pads to 8 instead
+    of 128: for CD->DAT (P2=160) the stream-major layout issues
+    ceil(160/128)*128 = 256 output lanes per frame (62.5% useful),
+    while this layout issues exactly 160 M-rows — the tile-padding
+    bound the roofline names (utils/roofline.py) does not exist here.
+    """
+    i = pl.program_id(0)   # stream tile (outer)
+    j = pl.program_id(1)   # frame (inner)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    lin = i * nj + j       # sequential grid order: i outer, j innermost
+
+    def copy_in(jj, ii, slot):
+        aligned = jj * ipx // 8 * 8
+        return pltpu.make_async_copy(
+            xt_hbm.at[pl.ds(aligned, fetch), pl.ds(ii * ts, ts)],
+            win_ref.at[slot], sem.at[slot])
+
+    @pl.when(lin == 0)
+    def _():
+        copy_in(j, i, 0).start()
+
+    nxt = lin + 1
+    @pl.when(nxt < ni * nj)
+    def _():
+        ii = nxt // nj
+        jj = nxt - ii * nj
+        copy_in(jj, ii, nxt % 2).start()
+
+    copy_in(j, i, lin % 2).wait()
+    off = j * ipx - (j * ipx // 8 * 8)
+    win = pltpu.roll(win_ref[lin % 2], fetch - off, 0)
+    y_ref[0, :, :] = mxu_dot(r_ref[:, :], win[:wx_pad, :], tier)  # [P2, TS]
+
+
+def tmajor_vmem_bytes(wx_pad: int, p2: int, ts: int) -> int:
+    """Scoped-VMEM footprint of one time-major grid step."""
+    fetch = wx_pad + 8
+    return 4 * (2 * fetch * ts       # raw DMA double buffer
+                + fetch * ts         # rolled window temp
+                + p2 * wx_pad        # R
+                + 2 * p2 * ts)       # output block (pipelined x2)
+
+
+def choose_tmajor_tile(wx_pad: int, p2: int, s: int) -> int:
+    """Largest lane tile (streams per grid step) fitting the VMEM budget.
+
+    Small tiles make the per-step matmul launch-bound in streaming
+    blocks (16 frames x 8 lane tiles of a 1024-stream block = 128 tiny
+    grid steps); one wide tile turns that into n_frames steps of
+    [P2, Wx_pad] @ [Wx_pad, ts] with ts = the whole (padded) batch when
+    it fits.  Same 2.4x Mosaic-overhead safety factor as
+    choose_stream_tile.
+    """
+    s_pad = _round_up(max(s, 1), 128)
+    ts = s_pad
+    while ts > 128 and tmajor_vmem_bytes(wx_pad, p2, ts) * 2.4 > VMEM_BUDGET:
+        ts = _round_up(ts // 2, 128)
+    if tmajor_vmem_bytes(wx_pad, p2, ts) * 2.4 > VMEM_BUDGET:
+        return 0
+    return ts
+
+
+@functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'ts',
+                                             'interpret', 'precision'))
+def fused_resample_tmajor(xt: jax.Array, r: jax.Array, *, ipx: int, wx: int,
+                          p2: int, ts: int = 128,
+                          interpret: bool = False,
+                          precision: str = 'auto') -> jax.Array:
+    """yT[m*P2 + r_, s] = sum_w xT[m*Ipx + w, s] * r[r_, w].
+
+    ``xt`` [n, S] float32 TIME-MAJOR (S % ts == 0); ``r`` [P2, Wx].
+    Returns yT [n_frames * P2, S] (time-major), n_frames = the largest
+    count whose last window fits: (n - wx) // ipx + 1.
+
+    Experimental serving-path layout (see _tmajor_kernel): interleaved
+    multi-stream audio is already time-major, so an ingest pipeline can
+    feed this kernel with no transpose at all.
+    """
+    n, s = xt.shape
+    assert s % ts == 0
+    wx_pad = _round_up(wx, 128)
+    fetch = wx_pad + 8          # 8-aligned fetch + sublane-roll residual
+    n_frames = (n - wx) // ipx + 1
+    assert n_frames >= 1
+    # The last window's aligned fetch reads ``fetch`` rows from its floor.
+    need = (n_frames - 1) * ipx // 8 * 8 + fetch
+    if n < need:
+        xt = jnp.pad(xt, ((0, need - n), (0, 0)))
+    r_pad = jnp.zeros((p2, wx_pad), jnp.float32).at[:, :wx].set(
+        r.astype(jnp.float32))
+    y = pl.pallas_call(
+        functools.partial(_tmajor_kernel, ipx=ipx, wx_pad=wx_pad,
+                          fetch=fetch, p2=p2, ts=ts, tier=precision),
+        grid=(s // ts, n_frames),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((p2, wx_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p2, ts), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_frames, p2, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, fetch, ts), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xt, r_pad)
+    return y.reshape(n_frames * p2, s)
+
+
 def _general_kernel(starts_ref, x_hbm, m_ref, y_ref, raw_ref, xv_ref, sem, *,
                     w_pad: int, tile: int, fetch: int, ts: int):
     """Per-tile banded matmul with DMA framing at data-dependent starts.

@@ -88,7 +88,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def banded_model(p2: int, wx: int, ipx: int, *, read_amp: float = 1.08,
-                 nnz: int | None = None, bytes_elem: int = 4) -> dict:
+                 nnz: int | None = None, bytes_elem: int = 4,
+                 p2_granule: int = 128) -> dict:
     """Static per-input-sample op counts for a [P2 x Wx] banded step.
 
     One period consumes ``ipx`` input samples and emits ``p2`` outputs
@@ -106,9 +107,15 @@ def banded_model(p2: int, wx: int, ipx: int, *, read_amp: float = 1.08,
     ``roundup(P2,128) * roundup(Wx,128)`` MAC slots; the M (frame-row)
     dimension is sublane-granular and effectively free at the batch
     sizes the benches run.  flops := 2 * MACs.
+
+    ``p2_granule`` — the padding granule of the P2 axis: 128 for the
+    stream-major layout (P2 on lanes), 8 for the time-major layout
+    (P2 on sublanes, streams on lanes — engine/tmajor.py), which is
+    the layout's whole point: CD->DAT's P2=160 pads to 256 lanes
+    stream-major but exactly 160 sublanes time-major.
     """
     flops = 2.0 * p2 * wx / ipx
-    slots = 2.0 * _round_up(p2, 128) * _round_up(wx, 128) / ipx
+    slots = 2.0 * _round_up(p2, p2_granule) * _round_up(wx, 128) / ipx
     return {
         # ipx may be fractional for quasi-periodic walks (the general
         # non-exact path consumes tv * in_rate/out_rate inputs per tile).
