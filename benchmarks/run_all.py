@@ -318,35 +318,36 @@ def main() -> None:
         from go_audio_resampler_tpu.engine.streaming import EngineCore
 
         plan_g = plan_engine(44100.0, 48001.0, Quality.HIGH)
-        # 64 chained steps and a 16->256 stream contrast: this path runs
-        # ~8 Gs/s, so the smaller geometry left the marginal time under
-        # the 2 ms jitter floor and the slope collapsed to the tunnel
-        # latency bound (139 Ms/s quoted for an ~8 Gs/s device path).
-        n_steps = 64
+        # DEPTH contrast (8 vs 136 chained steps at fixed batch), same
+        # methodology as bench.py's _chain_slope.  The earlier
+        # stream-count contrast (16 vs 256 streams at fixed 64 steps)
+        # quoted the MARGINAL per-stream cost, which silently hid any
+        # batch-independent serial cost per step: before the round-5
+        # banded-assembly fix this row read 8.5 Gs/s while the true
+        # fixed-batch throughput was 41.7 Ms/s (a 12.5 ms/step lane
+        # gather, paid once per step regardless of batch).  Depth
+        # contrast charges every per-step cost to the slope.
+        s_streams = max(256 // scale, 2)
+        eng_g = EngineCore(plan_g, batch=s_streams, block=2048,
+                           dtype=jnp.float32)
+        st0_g = eng_g._init_state()
+        f_g = eng_g.core_fn()
+        x_g = jnp.asarray(rng.normal(
+            size=(s_streams, eng_g.block)).astype(np.float32))
 
-        def make_general_stream(s):
-            eng = EngineCore(plan_g, batch=s, block=2048,
-                             dtype=jnp.float32)
-            st0 = eng._init_state()
-            f = eng.core_fn()
-            x = jnp.asarray(
-                rng.normal(size=(s, eng.block)).astype(np.float32))
+        @jax.jit
+        def g_depth(n):
+            def body(_, val):
+                st, acc = val
+                st2, y, n_ = f_g(st, x_g)
+                return (st2, acc + jnp.sum(y))
+            return jax.lax.fori_loop(
+                0, n, body, (st0_g, jnp.float32(0)))[1]
 
-            @jax.jit
-            def g():
-                def body(carry, _):
-                    st, acc = carry
-                    st2, y, n_ = f(st, x)
-                    return (st2, acc + jnp.sum(y)), None
-                (st, acc), _ = jax.lax.scan(
-                    body, (st0, jnp.float32(0)), None, length=n_steps)
-                return acc
-            return g
-        blk_g = EngineCore(plan_g, batch=1, block=2048,
-                           dtype=jnp.float32).block
+        def make_general_depth(n):
+            return lambda: g_depth(n)
         results["streaming_general_step_44k_48k001"] = slope_msps(
-            make_general_stream, max(16 // scale, 1),
-            max(256 // scale, 2), blk_g * n_steps)
+            make_general_depth, 8, 136, s_streams * eng_g.block)
 
     # 8. pipeline path: api.Resampler multi-stage half-band chain
     # (48k->8k = 2x half-band + 2/3 polyphase), including the per-stage
