@@ -62,8 +62,9 @@ def _step_banded_tmajor(r, carry, x, ipx, wx, p2, dispatch='auto',
     if ts:
         s_pad = _ceil_div(max(s, 1), ts) * ts
         xt = data if s_pad == s else jnp.pad(data, ((0, 0), (0, s_pad - s)))
+        kf = pf.choose_tmajor_kf(wx_pad, p2, ts, ipx, n_frames)
         y = pf.fused_resample_tmajor(xt, r.astype(jnp.float32), ipx=ipx,
-                                     wx=wx, p2=p2, ts=ts,
+                                     wx=wx, p2=p2, ts=ts, kf=kf,
                                      precision=precision)
         y = y[:n_frames * p2, :s]
     else:

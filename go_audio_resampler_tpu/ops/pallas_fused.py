@@ -275,7 +275,7 @@ def fused_resample_pallas(x: jax.Array, r_t: jax.Array, *, ipx: int, wx: int,
 
 
 def _tmajor_kernel(xt_hbm, r_ref, y_ref, win_ref, sem, *, ipx: int,
-                   wx_pad: int, fetch: int, p2: int, ts: int,
+                   wx_pad: int, fetch: int, p2: int, ts: int, kf: int = 1,
                    tier: str | None = None):
     """Time-major fused resample: R [P2, Wx_pad] @ window [Wx_pad, TS].
 
@@ -284,8 +284,8 @@ def _tmajor_kernel(xt_hbm, r_ref, y_ref, win_ref, sem, *, ipx: int,
     the DMA's sublane (row) start to be provably 8-divisible — the
     sublane analog of the lane-dim 128 constraint the stream-major
     kernel works around — so each fetch starts at the 8-aligned floor,
-    reads ``fetch`` = wx_pad+8 rows, and the (dynamic, <8) residual is
-    removed on-chip with one sublane ``pltpu.roll`` (positive shift
+    reads ``fetch`` rows, and the (dynamic, <8) residual is removed
+    on-chip with one sublane ``pltpu.roll`` (positive shift
     ``fetch - off``, as in the rational kernel).
 
     The matmul puts P2 on the M (sublane) axis, which pads to 8 instead
@@ -293,15 +293,24 @@ def _tmajor_kernel(xt_hbm, r_ref, y_ref, win_ref, sem, *, ipx: int,
     ceil(160/128)*128 = 256 output lanes per frame (62.5% useful),
     while this layout issues exactly 160 M-rows — the tile-padding
     bound the roofline names (utils/roofline.py) does not exist here.
+
+    ``kf`` frames are processed per grid step from ONE slab fetch of
+    ``fetch = (kf-1)*ipx + wx_pad + 8`` rows: consecutive windows
+    overlap by wx-ipx rows, so the k-group fetch carries ~kf*ipx new
+    rows instead of kf*(wx_pad+8) (less HBM read amplification), and
+    the roll + DMA waits + grid overhead amortize over kf matmuls.
+    Frame j*kf+m reads the rolled slab at STATIC sublane offset m*ipx
+    (the dynamic part of the address, the 8-residual of j*kf*ipx, is
+    identical for all kf frames and removed by the one roll).
     """
     i = pl.program_id(0)   # stream tile (outer)
-    j = pl.program_id(1)   # frame (inner)
+    j = pl.program_id(1)   # frame group (inner)
     ni = pl.num_programs(0)
     nj = pl.num_programs(1)
     lin = i * nj + j       # sequential grid order: i outer, j innermost
 
     def copy_in(jj, ii, slot):
-        aligned = jj * ipx // 8 * 8
+        aligned = jj * (kf * ipx) // 8 * 8
         return pltpu.make_async_copy(
             xt_hbm.at[pl.ds(aligned, fetch), pl.ds(ii * ts, ts)],
             win_ref.at[slot], sem.at[slot])
@@ -318,18 +327,23 @@ def _tmajor_kernel(xt_hbm, r_ref, y_ref, win_ref, sem, *, ipx: int,
         copy_in(jj, ii, nxt % 2).start()
 
     copy_in(j, i, lin % 2).wait()
-    off = j * ipx - (j * ipx // 8 * 8)
+    base = j * (kf * ipx)
+    off = base - base // 8 * 8
     win = pltpu.roll(win_ref[lin % 2], fetch - off, 0)
-    y_ref[0, :, :] = mxu_dot(r_ref[:, :], win[:wx_pad, :], tier)  # [P2, TS]
+    for m in range(kf):
+        y_ref[m, :, :] = mxu_dot(r_ref[:, :],
+                                 win[m * ipx:m * ipx + wx_pad, :],
+                                 tier)                        # [P2, TS]
 
 
-def tmajor_vmem_bytes(wx_pad: int, p2: int, ts: int) -> int:
+def tmajor_vmem_bytes(wx_pad: int, p2: int, ts: int, kf: int = 1,
+                      ipx: int = 0) -> int:
     """Scoped-VMEM footprint of one time-major grid step."""
-    fetch = wx_pad + 8
+    fetch = _round_up((kf - 1) * ipx + wx_pad + 8, 8)
     return 4 * (2 * fetch * ts       # raw DMA double buffer
                 + fetch * ts         # rolled window temp
                 + p2 * wx_pad        # R
-                + 2 * p2 * ts)       # output block (pipelined x2)
+                + 2 * kf * p2 * ts)  # output block (pipelined x2)
 
 
 def choose_tmajor_tile(wx_pad: int, p2: int, s: int) -> int:
@@ -351,10 +365,36 @@ def choose_tmajor_tile(wx_pad: int, p2: int, s: int) -> int:
     return ts
 
 
-@functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'ts',
+def choose_tmajor_kf(wx_pad: int, p2: int, ts: int, ipx: int,
+                     n_frames: int) -> int:
+    """Frames per grid step for the time-major kernel: 2 when it fits.
+
+    kf=2 processes two consecutive frames from ONE slab fetch, so the
+    alignment roll, the DMA waits and the grid-step overhead amortize
+    over two matmuls, and the slab's second window re-reads the wx-ipx
+    overlap rows for free (less HBM read amplification).  Measured on
+    v5e (CD->DAT serving step, interleaved depth slopes): kf=2 wins at
+    every stream count — +73% at 256 streams (12.3 vs 21.1 us/step,
+    where the ~1 us matmul is comparable to the per-grid-step
+    overhead) and +5.8% at 1024 streams (98.8 vs 104.5, matmul-bound
+    end) — while kf=3/4 LOSE at 256 streams (17.7/—) and only tie kf=2
+    at 1024, so deeper unrolls buy nothing the VMEM cost justifies.
+    Partial final groups are free: the output BlockSpec masks the
+    out-of-bounds frames natively (no padded output, no slice copy —
+    the slice is exactly what regressed kf>1 before it was removed).
+    """
+    kf = 2
+    if (n_frames < 2
+            or tmajor_vmem_bytes(wx_pad, p2, ts, kf, ipx) * 2.4
+            > VMEM_BUDGET):
+        kf = 1
+    return kf
+
+
+@functools.partial(jax.jit, static_argnames=('ipx', 'wx', 'p2', 'ts', 'kf',
                                              'interpret', 'precision'))
 def fused_resample_tmajor(xt: jax.Array, r: jax.Array, *, ipx: int, wx: int,
-                          p2: int, ts: int = 128,
+                          p2: int, ts: int = 128, kf: int = 1,
                           interpret: bool = False,
                           precision: str = 'auto') -> jax.Array:
     """yT[m*P2 + r_, s] = sum_w xT[m*Ipx + w, s] * r[r_, w].
@@ -363,6 +403,10 @@ def fused_resample_tmajor(xt: jax.Array, r: jax.Array, *, ipx: int, wx: int,
     Returns yT [n_frames * P2, S] (time-major), n_frames = the largest
     count whose last window fits: (n - wx) // ipx + 1.
 
+    ``kf`` frames share one slab fetch per grid step (see
+    _tmajor_kernel); n_frames is padded up to a kf multiple internally
+    (the pad frames read zero rows and their outputs are sliced off).
+
     Experimental serving-path layout (see _tmajor_kernel): interleaved
     multi-stream audio is already time-major, so an ingest pipeline can
     feed this kernel with no transpose at all.
@@ -370,26 +414,33 @@ def fused_resample_tmajor(xt: jax.Array, r: jax.Array, *, ipx: int, wx: int,
     n, s = xt.shape
     assert s % ts == 0
     wx_pad = _round_up(wx, 128)
-    fetch = wx_pad + 8          # 8-aligned fetch + sublane-roll residual
+    # 8-aligned fetch start + <8 roll residual; the row count itself must
+    # also be 8-aligned (Mosaic's dynamic_rotate rejects unaligned
+    # sublane shapes), hence the final round-up.
+    fetch = _round_up((kf - 1) * ipx + wx_pad + 8, 8)
     n_frames = (n - wx) // ipx + 1
     assert n_frames >= 1
-    # The last window's aligned fetch reads ``fetch`` rows from its floor.
-    need = (n_frames - 1) * ipx // 8 * 8 + fetch
+    n_groups = -(-n_frames // kf)
+    # The last group's aligned fetch reads ``fetch`` rows from its floor.
+    need = (n_groups - 1) * (kf * ipx) // 8 * 8 + fetch
     if n < need:
         xt = jnp.pad(xt, ((0, need - n), (0, 0)))
     r_pad = jnp.zeros((p2, wx_pad), jnp.float32).at[:, :wx].set(
         r.astype(jnp.float32))
     y = pl.pallas_call(
         functools.partial(_tmajor_kernel, ipx=ipx, wx_pad=wx_pad,
-                          fetch=fetch, p2=p2, ts=ts, tier=precision),
-        grid=(s // ts, n_frames),
+                          fetch=fetch, p2=p2, ts=ts, kf=kf, tier=precision),
+        grid=(s // ts, n_groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((p2, wx_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, p2, ts), lambda i, j: (j, 0, i),
+        out_specs=pl.BlockSpec((kf, p2, ts), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),
+        # n_frames need not be a kf multiple: Pallas masks the final
+        # partial block's out-of-bounds rows at copy-out, so no padded
+        # output (and no slice copy after the kernel) ever exists.
         out_shape=jax.ShapeDtypeStruct((n_frames, p2, s), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, fetch, ts), jnp.float32),

@@ -21,18 +21,22 @@ RNG = np.random.default_rng(3)
 
 
 class TestTmajorKernel:
-    def test_interpret_matches_dense(self):
+    # kf=2 is the production pick (choose_tmajor_kf); 3 exercises a
+    # partial final group on n_frames=12 and kf > n_frames on
+    # n_frames=1 (clamped by the grid, masked at copy-out).
+    @pytest.mark.parametrize("kf", [1, 2, 3])
+    @pytest.mark.parametrize("n_frames", [1, 12])
+    def test_interpret_matches_dense(self, kf, n_frames):
         from go_audio_resampler_tpu.ops.pallas_fused import \
             fused_resample_tmajor
 
         ipx, wx, p2, s = 147, 343, 160, 256
-        n_frames = 12
         n = (n_frames - 1) * ipx + wx
         xt = RNG.normal(size=(n, s)).astype(np.float32)
         r = RNG.normal(size=(p2, wx)).astype(np.float32)
         y = np.asarray(fused_resample_tmajor(
             jnp.asarray(xt), jnp.asarray(r), ipx=ipx, wx=wx, p2=p2,
-            ts=128, interpret=True))
+            ts=128, kf=kf, interpret=True))
         ref = np.concatenate(
             [r @ xt[m * ipx:m * ipx + wx] for m in range(n_frames)])
         assert y.shape == ref.shape

@@ -119,6 +119,43 @@ def _run_stream_child(out_pallas: str, out_xla: str, inr: float, outr: float,
     assert "OK stream" in res.stdout, res.stdout
 
 
+# Time-major kernel on the real TPU: kf=1 vs dense reference, and the
+# multi-frame grid steps (kf=2 production pick, kf=3 odd) BIT-EXACT
+# against kf=1 — same mxu_dot per frame, only the slab fetch is shared,
+# so any difference is a framing/masking bug, not rounding.  n_frames=13
+# exercises a partial final group (13 % kf != 0 for both), whose
+# out-of-bounds frames the output BlockSpec masks at copy-out.
+_TMAJOR_CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+assert jax.default_backend() == 'tpu', jax.default_backend()
+import jax.numpy as jnp
+from go_audio_resampler_tpu.ops.pallas_fused import fused_resample_tmajor
+
+ipx, wx, p2, s = 147, 343, 160, 256
+n_frames = 13
+n = (n_frames - 1) * ipx + wx
+rng = np.random.default_rng(7)
+xt = jnp.asarray(rng.normal(size=(n, s)).astype(np.float32))
+r_np = rng.normal(size=(p2, wx)).astype(np.float32)
+r = jnp.asarray(r_np)
+ref = np.asarray(fused_resample_tmajor(xt, r, ipx=ipx, wx=wx, p2=p2,
+                                       ts=128, kf=1))
+dense = np.concatenate([r_np @ np.asarray(xt)[m*ipx:m*ipx+wx]
+                        for m in range(n_frames)])
+err = np.max(np.abs(ref - dense)) / max(1e-30, np.max(np.abs(dense)))
+assert err < 1e-5, f"tmajor kf=1 vs dense rel err {{err:.3e}}"
+for kf in (2, 3):
+    y = np.asarray(fused_resample_tmajor(xt, r, ipx=ipx, wx=wx, p2=p2,
+                                         ts=128, kf=kf))
+    assert y.shape == ref.shape, (kf, y.shape, ref.shape)
+    assert (y == ref).all(), (kf, np.max(np.abs(y - ref)))
+print(f"OK tmajor rel_err={{err:.3e}} kf 2/3 bit-exact")
+"""
+
+
 def _run_child(mode: str, inr: float, outr: float):
     env = dict(os.environ)
     # Drop the suite's CPU pin so the child sees the real TPU.
@@ -138,6 +175,16 @@ class TestCompiledPallas:
 
     def test_decimate_96k_to_48k(self):
         _run_child("decim", 96000.0, 48000.0)
+
+    def test_tmajor_kf_bit_exact(self):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        src = _TMAJOR_CHILD.format(repo=_REPO)
+        res = subprocess.run([sys.executable, "-c", src], env=env,
+                             capture_output=True, text=True, timeout=1500)
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert "OK tmajor" in res.stdout, res.stdout
 
     # Both directions and two block sizes: the round-3 advisor found the
     # single committed shape (44.1k->48k, block 2048) coincidentally
