@@ -249,6 +249,17 @@ def main() -> None:
 
     # Roofline accounting: flops/sample is static per plan (the banded
     # matrix dims), so every slope can say which resource binds it.
+    def _tmajor_read_amp(p2_, wx_, ipx_, s_):
+        """reads of x per input sample for the time-major kernel's
+        actual (ts, kf) at this geometry (one fetch slab per kf
+        frames)."""
+        from go_audio_resampler_tpu.ops import pallas_fused as pf
+        wx_pad = -(-wx_ // 128) * 128
+        ts = pf.choose_tmajor_tile(wx_pad, p2_, s_) or 128
+        kf = pf.choose_tmajor_kf(wx_pad, p2_, ts, ipx_, blk // ipx_)
+        fetch = -(-((kf - 1) * ipx_ + wx_pad + 8) // 8) * 8
+        return fetch / (kf * ipx_)
+
     peaks = device_peaks()
     headline_tier = os.environ.get("GAR_TPU_MATMUL_PRECISION",
                                    "highest").lower()
@@ -258,10 +269,12 @@ def main() -> None:
         "pallas": banded_model(p2, wx, ipx),
         "xla": banded_model(p2, wx, ipx, read_amp=wx / ipx),
         # Time-major layout (engine/tmajor.py): P2 on the 8-granular
-        # sublane axis (no 160->256 lane padding); per-frame DMA reads
-        # the padded window (wx_pad/ipx reads of x).
+        # sublane axis (no 160->256 lane padding); each grid step DMAs
+        # one slab of (kf-1)*ipx + wx_pad + 8 rows shared by kf frames
+        # (ops/pallas_fused.choose_tmajor_kf), so reads of x per input
+        # sample = fetch / (kf*ipx).
         "tmajor": banded_model(p2, wx, ipx,
-                               read_amp=(-(-wx // 128) * 128) / ipx,
+                               read_amp=_tmajor_read_amp(p2, wx, ipx, s),
                                p2_granule=8),
     }
 
